@@ -1,0 +1,121 @@
+"""Global / linear color-transfer methods, jittable and vmappable.
+
+TPU-first re-designs of the reference's three statistical methods
+(reference methods/linear.py). The reference round-trips every image through
+CPU NumPy per batch element (reference methods/__init__.py:18-27); here each
+method is a pure jittable function on a channel-last (H, W, 3) image in
+[0, 1], so batches/video run on-device via ``jax.vmap`` and shard across a
+mesh along the batch axis. The Lab conversion + moment accumulation fuse into
+a handful of XLA reductions over HBM-resident frames.
+
+Methods:
+  * reinhard            — Lab mean/std matching
+    (Reinhard et al. 2001; reference methods/linear.py:8-42)
+  * correlated_color_space — RGB covariance matching via eigen decomposition
+    (Xiao & Ma 2006; reference methods/linear.py:45-82)
+  * monge_kantorovitch  — optimal linear map between covariances
+    (Pitié & Kokaram 2007; reference methods/linear.py:85-124)
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from color_transfer_tpu.core.colorspace import rgb_to_lab, lab_to_rgb
+from color_transfer_tpu.core.linalg import cov3, sqrtm_psd, inv_sqrtm_psd
+
+
+def _flatten(img):
+    return img.reshape(-1, 3)
+
+
+def reinhard(target, reference):
+    """Color Transfer between Images (Reinhard et al. 2001).
+
+    Per-channel Lab mean/std matching: out = (t - mu_t) * sigma_r / sigma_t
+    + mu_r (reference methods/linear.py:33-40; np.std semantics, ddof=0).
+    """
+    t = _flatten(rgb_to_lab(target))
+    r = _flatten(rgb_to_lab(reference))
+
+    t_mean = jnp.mean(t, axis=0)
+    r_mean = jnp.mean(r, axis=0)
+    t_std = jnp.std(t, axis=0)
+    r_std = jnp.std(r, axis=0)
+
+    out = (t - t_mean) * r_std / t_std + r_mean
+    return lab_to_rgb(out.reshape(target.shape))
+
+
+def _sorted_eig_desc(c):
+    """Symmetric eigendecomposition sorted by descending eigenvalue with a
+    canonical sign (largest-|component| positive), replacing np.linalg.svd
+    of the symmetric covariance (reference methods/linear.py:69-70). The sign
+    canon pairs the target/reference principal axes consistently."""
+    vals, vecs = jnp.linalg.eigh(c)
+    vals = vals[::-1]
+    vecs = vecs[:, ::-1]
+    idx = jnp.argmax(jnp.abs(vecs), axis=0)
+    signs = jnp.sign(vecs[idx, jnp.arange(3)])
+    return vals, vecs * signs
+
+
+def correlated_color_space(target, reference):
+    """Color Transfer in Correlated Color Space (Xiao & Ma 2006).
+
+    T = U_t diag(1/sqrt(s_t)) diag(sqrt(s_r)) U_r^{-1}
+    (reference methods/linear.py:69-80), built from symmetric eigen pairs.
+    """
+    shape = target.shape
+    t = _flatten(target)
+    r = _flatten(reference)
+
+    t_mean = jnp.mean(t, axis=0)
+    r_mean = jnp.mean(r, axis=0)
+    s_t, u_t = _sorted_eig_desc(cov3(t))
+    s_r, u_r = _sorted_eig_desc(cov3(r))
+
+    eps = 1e-12
+    transform = (
+        u_t
+        @ jnp.diag(1.0 / jnp.sqrt(jnp.maximum(s_t, eps)))
+        @ jnp.diag(jnp.sqrt(jnp.maximum(s_r, eps)))
+        @ u_r.T  # orthonormal: inverse == transpose
+    )
+    out = (t - t_mean) @ transform.T + r_mean
+    return out.reshape(shape)
+
+
+def monge_kantorovitch(target, reference, decomposition="MK"):
+    """Linear Monge-Kantorovitch colour mapping (Pitié & Kokaram 2007).
+
+    decomposition in {'cholesky', 'sqrt', 'MK'} mirroring the reference
+    (reference methods/linear.py:108-120). 'MK' (default):
+        A = sqrtm(cov_t);  T = A^{-1} sqrtm(A cov_r A) A^{-1}
+    computed with PSD eigen square roots (TPU-native; no Schur).
+    """
+    shape = target.shape
+    t = _flatten(target)
+    r = _flatten(reference)
+
+    t_mean = jnp.mean(t, axis=0)
+    r_mean = jnp.mean(r, axis=0)
+    cov_t = cov3(t)
+    cov_r = cov3(r)
+
+    if decomposition == "cholesky":
+        a = jnp.linalg.cholesky(cov_t)
+        b = jnp.linalg.cholesky(cov_r)
+        transform = b @ jnp.linalg.inv(a)
+    elif decomposition == "sqrt":
+        transform = sqrtm_psd(cov_r) @ inv_sqrtm_psd(cov_t)
+    elif decomposition == "MK":
+        a = sqrtm_psd(cov_t)
+        a_inv = inv_sqrtm_psd(cov_t)
+        transform = a_inv @ sqrtm_psd(a @ cov_r @ a) @ a_inv
+    else:
+        raise ValueError("Unknown decomposition, use 'cholesky', 'sqrt', or 'MK'")
+
+    # reference methods/linear.py:122 multiplies (x - mean) @ T (no
+    # transpose); T is symmetric for 'MK' but not for the other two.
+    out = (t - t_mean) @ transform + r_mean
+    return out.reshape(shape)
