@@ -1,0 +1,83 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: corrected 1080p stereo frames/sec for the Monge-Kantorovitch
+linear transfer (the best classical method on the real-world dataset,
+BASELINE.md), measured on the attached TPU chip. The BASELINE.json
+north-star is >=300 fps on a v5e-8 slice, i.e. 37.5 frames/sec/chip —
+``vs_baseline`` is the ratio against that per-chip share.
+
+Secondary benches (other methods, deep models as they land) print to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from color_transfer_tpu import methods
+
+H, W = 1080, 1920
+BASELINE_PER_CHIP_FPS = 300.0 / 8.0
+
+
+def _timeit_chained(fn, target, reference, iters=16):
+    """Chain each iteration's output into the next input and force a host
+    read at the end — the runtime's block_until_ready is asynchronous under
+    the TPU tunnel, so only a data dependency + host transfer gives honest
+    wall-clock numbers."""
+    out = fn(target, reference)
+    float(out.mean())  # compile + warm
+    acc = target
+    start = time.perf_counter()
+    for _ in range(iters):
+        acc = fn(acc, reference)
+    assert np.isfinite(float(acc.mean()))
+    return (time.perf_counter() - start) / iters
+
+
+def bench_classical(name, batch=8, iters=16):
+    fn = methods.get_method(name)
+    batched = jax.jit(jax.vmap(fn))
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    target = jax.random.uniform(k1, (batch, H, W, 3), dtype=jnp.float32)
+    reference = jnp.clip(
+        target * 0.9 + 0.05 + 0.02 * jax.random.normal(k2, target.shape), 0, 1
+    )
+    dt = _timeit_chained(batched, target, reference, iters=iters)
+    return batch / dt
+
+
+def main():
+    results = {}
+    for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
+        try:
+            results[name] = bench_classical(name)
+            print(f"[bench] {name}: {results[name]:.1f} 1080p frames/sec", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+    try:
+        results["idt"] = bench_classical("idt", batch=4, iters=5)
+        print(f"[bench] idt: {results['idt']:.1f} 1080p frames/sec", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] idt failed: {e}", file=sys.stderr)
+
+    headline = results.get("monge_kantorovitch", 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": "mk_1080p_stereo_frames_per_sec_per_chip",
+                "value": round(headline, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(headline / BASELINE_PER_CHIP_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
