@@ -1,0 +1,119 @@
+"""DCMCS3DI — Deep Color Mismatch Correction in Stereoscopic 3D Images.
+
+Flax re-design of the reference's Croci et al. reimplementation
+(reference methods/dcmcs3di.py:29-147): siamese ResB extractor -> parallax
+attention matcher -> transfer net, trained with L1 + MSE + SSIM plus
+0.005-weighted PAM losses (photometric / cycle / smoothness).
+
+NHWC throughout. ``inference=True`` drops the cycle maps and right-view mask
+like the reference (reference pasmnet/utils.py:37-40) and is the hook for the
+Pallas fused row-attention path.
+"""
+
+from dataclasses import field
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from color_transfer_tpu.models.layers import Conv, ResB
+from color_transfer_tpu.models import pasm
+from color_transfer_tpu import metrics
+
+
+class Extractor(nn.Module):
+    """Conv(3->C) + N ResB (reference methods/dcmcs3di.py:41-43)."""
+
+    channels: int = 64
+    layers: int = 18
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.channels)(x)
+        for _ in range(self.layers):
+            x = ResB(self.channels)(x)
+        return x
+
+
+class TransferNet(nn.Module):
+    """Conv1x1(2C+1 -> C) + N ResB + Conv(C->C/2) + Conv(C/2->3)
+    (reference methods/dcmcs3di.py:47-51)."""
+
+    channels: int = 64
+    layers: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.channels, kernel_size=1)(x)
+        for _ in range(self.layers):
+            x = ResB(self.channels)(x)
+        x = Conv(self.channels // 2)(x)
+        return Conv(3)(x)
+
+
+class DCMCS3DI(nn.Module):
+    extraction_layers: int = 18
+    transfer_layers: int = 6
+    channels: int = 64
+
+    def setup(self):
+        self.extraction = Extractor(self.channels, self.extraction_layers)
+        self.matcher = pasm.PAB(self.channels)
+        self.transfer = TransferNet(self.channels, self.transfer_layers)
+
+    def __call__(self, left, right, inference=False):
+        """left = distorted target view, right = reference view; NHWC [0,1].
+
+        Returns (corrected_left, aux) with aux = (att, att_cycle, valid_mask,
+        warped_right) exactly like the reference forward
+        (reference methods/dcmcs3di.py:53-66).
+        """
+        fea_left = self.extraction(left)
+        fea_right = self.extraction(right)
+
+        costs = self.matcher(fea_left, fea_right)
+        att, att_cycle, valid_mask = pasm.output(costs, inference)
+
+        fea_warped_right = pasm.warp(self.matcher.value_features(fea_right), att[0])
+
+        mask = valid_mask[0].astype(fea_left.dtype)
+        corrected = self.transfer(
+            jnp.concatenate([fea_left, fea_warped_right, mask], axis=-1)
+        )
+
+        return jnp.clip(corrected, 0.0, 1.0), (
+            att,
+            att_cycle,
+            valid_mask,
+            pasm.warp(right, att[0]),
+        )
+
+
+def compute_losses(model_out, batch):
+    """The reference's training objective (reference methods/dcmcs3di.py:68-92).
+
+    Returns (total_loss, dict of scalars). ``batch`` holds NHWC 'gt',
+    'target', 'reference'.
+    """
+    corrected_left, (att, att_cycle, valid_mask, _) = model_out
+    gt = batch["gt"]
+
+    loss_l1 = jnp.mean(jnp.abs(corrected_left - gt))
+    loss_mse = jnp.mean((corrected_left - gt) ** 2)
+    loss_ssim = metrics.ssim_loss(corrected_left, gt, window_size=11)
+
+    loss_pm = 0.005 * pasm.loss_pam_photometric(
+        batch["target"], batch["reference"], att, valid_mask
+    )
+    loss_cycle = 0.005 * pasm.loss_pam_cycle(att_cycle, valid_mask)
+    loss_smooth = 0.005 * pasm.loss_pam_smoothness(att)
+
+    total = loss_l1 + loss_mse + loss_ssim + loss_pm + loss_cycle + loss_smooth
+    return total, {
+        "L1 Loss": loss_l1,
+        "MSE Loss": loss_mse,
+        "SSIM Loss": loss_ssim,
+        "Photometric Loss": loss_pm,
+        "Cycle Loss": loss_cycle,
+        "Smoothness Loss": loss_smooth,
+    }
