@@ -1,0 +1,177 @@
+"""Host-side datasets and input pipeline.
+
+Mirrors the reference's three dataset layouts (reference utils/data.py:52-125):
+
+  * ArtificialTrainValDataset — ``*_L.*`` (gt) / ``*_R.*`` (reference) pairs;
+    random same-location crops; horizontal flip swaps the views (a flipped
+    right view is a left view), vertical flip keeps them (reference :75-80);
+    ``image_repeats`` virtual-epoch expansion (:63).
+  * ArtificialTestDataset — full-size pairs x the 31-distortion grid (:87-106).
+  * RealWorldTestDataset — ``*/*_L.* *_LD.* *_R.*`` triplets (:109-125).
+
+Division of labour (TPU-first): the host decodes PNGs, crops and flips
+(cheap, random-access); photometric distortion synthesis runs on-device
+(data/distortions.py). Training batches are therefore {gt, reference} uint8
+and the device step derives the distorted target — removing the reference's
+32-worker CPU bottleneck (reference configs/dcmcs3di.yaml:15).
+
+A thread-pool ``Loader`` overlaps decode with device compute.
+"""
+
+import threading
+import queue
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def _read_image(path):
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+class ArtificialTrainValDataset:
+    def __init__(self, image_dir, crop_size, image_repeats=1):
+        image_dir = Path(image_dir)
+        self.gts = sorted(image_dir.glob("*_L.*"))
+        self.references = sorted(image_dir.glob("*_R.*"))
+        assert len(self.gts) == len(self.references), (
+            f"unpaired stereo images in {image_dir}"
+        )
+        assert self.gts, f"no *_L.* images in {image_dir}"
+        self.crop_size = tuple(crop_size)
+        self.image_repeats = image_repeats
+
+    def __len__(self):
+        return len(self.gts) * self.image_repeats
+
+    def __getitem__(self, index):
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=abs(hash(("item", index))))
+        )
+        return self.sample(index, rng)
+
+    def sample(self, index, rng):
+        gt = _read_image(self.gts[index // self.image_repeats])
+        reference = _read_image(self.references[index // self.image_repeats])
+
+        ch, cw = self.crop_size
+        top = rng.integers(0, gt.shape[0] - ch)
+        left = rng.integers(0, gt.shape[1] - cw)
+        gt = gt[top : top + ch, left : left + cw]
+        reference = reference[top : top + ch, left : left + cw]
+
+        if rng.random() > 0.5:
+            # Horizontal flip turns a left view into a right view — swap.
+            gt, reference = reference[:, ::-1], gt[:, ::-1]
+        if rng.random() > 0.5:
+            gt, reference = gt[::-1], reference[::-1]
+
+        return {"gt": np.ascontiguousarray(gt), "reference": np.ascontiguousarray(reference)}
+
+
+class ArtificialTestDataset:
+    """Full-size pairs; the caller crosses them with the 31-distortion grid
+    (distortion index = item % 31 like the reference's indexing scheme)."""
+
+    def __init__(self, image_dir, num_distortions=31):
+        image_dir = Path(image_dir)
+        self.gts = sorted(image_dir.glob("*_L.*"))
+        self.references = sorted(image_dir.glob("*_R.*"))
+        assert len(self.gts) == len(self.references)
+        self.num_distortions = num_distortions
+
+    def __len__(self):
+        return len(self.gts) * self.num_distortions
+
+    def __getitem__(self, index):
+        gt = _read_image(self.gts[index // self.num_distortions])
+        reference = _read_image(self.references[index // self.num_distortions])
+        return {
+            "gt": gt,
+            "reference": reference,
+            "distortion_idx": index % self.num_distortions,
+        }
+
+
+class RealWorldTestDataset:
+    def __init__(self, image_dir):
+        image_dir = Path(image_dir)
+        self.gts = sorted(image_dir.glob("*/*_L.*"))
+        self.targets = sorted(image_dir.glob("*/*_LD.*"))
+        self.references = sorted(image_dir.glob("*/*_R.*"))
+        assert len(self.gts) == len(self.targets) == len(self.references)
+
+    def __len__(self):
+        return len(self.gts)
+
+    def __getitem__(self, index):
+        return {
+            "gt": _read_image(self.gts[index]),
+            "target": _read_image(self.targets[index]),
+            "reference": _read_image(self.references[index]),
+        }
+
+
+def _collate(items):
+    out = {}
+    for key in items[0]:
+        vals = [item[key] for item in items]
+        out[key] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
+    return out
+
+
+class Loader:
+    """Threaded prefetching batch loader (host-side half of the pipeline)."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, num_threads=8,
+                 seed=0, drop_last=False, prefetch=4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_threads = num_threads
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for idxs in batches:
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(_collate(items))
+            q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
