@@ -1,0 +1,93 @@
+"""fit/test CLI — the reference's entry point semantics
+(reference README.md:58-71, utils/cli.py):
+
+    python -m color_transfer_tpu.cli fit  --config configs/dcmcs3di.yaml
+    python -m color_transfer_tpu.cli test --config configs/others.yaml \
+        --model.func_spec methods.linear.color_transfer_between_images
+    python -m color_transfer_tpu.cli test --config configs/dcmcs3di.yaml \
+        --ckpt_path runs/dcmcs3di/checkpoints/best --trainer.logger false
+"""
+
+import argparse
+import json
+import sys
+
+from color_transfer_tpu.run.config import load_config, build_from_config
+
+
+def _parse(argv):
+    parser = argparse.ArgumentParser(prog="color_transfer_tpu.cli")
+    parser.add_argument("subcommand", choices=["fit", "test", "validate"])
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--log_dir", default=None)
+    parser.add_argument("--max_batches", type=int, default=None)
+    args, unknown = parser.parse_known_args(argv)
+
+    overrides = {}
+    i = 0
+    while i < len(unknown):
+        tok = unknown[i]
+        if tok.startswith("--"):
+            if "=" in tok:
+                k, v = tok[2:].split("=", 1)
+                overrides[k] = v
+                i += 1
+            elif i + 1 < len(unknown):
+                overrides[tok[2:]] = unknown[i + 1]
+                i += 2
+            else:
+                overrides[tok[2:]] = "true"
+                i += 1
+        else:
+            raise SystemExit(f"unexpected argument: {tok}")
+    return args, overrides
+
+
+def main(argv=None):
+    args, overrides = _parse(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(args.config, overrides)
+    module, datamodule, trainer = build_from_config(cfg, log_dir=args.log_dir)
+
+    if datamodule is None:
+        raise SystemExit("config must provide data.init_args.data_dir")
+
+    if args.subcommand == "fit":
+        trainer.fit(module, datamodule, resume=args.ckpt_path)
+        return 0
+
+    params = None
+    if args.ckpt_path is not None:
+        from color_transfer_tpu.run.checkpoint import load_checkpoint
+
+        # Restore with structure inferred from a fresh init.
+        import jax
+
+        sample = None
+        for loader in datamodule.test_loaders():
+            from color_transfer_tpu.run.datamodule import to_float
+            import jax.numpy as jnp
+
+            batch = to_float(next(iter(loader)))
+            sample = {
+                k: jnp.asarray(v) for k, v in batch.items() if k != "distortion_idx"
+            }
+            if "target" not in sample:
+                sample["target"] = sample["gt"]
+            break
+        state = module.init_state(jax.random.PRNGKey(0), sample)
+        restored, _ = load_checkpoint(
+            args.ckpt_path, target={"params": state.params, "opt_state": state.opt_state}
+        )
+        params = restored["params"]
+
+    if args.subcommand == "validate":
+        raise SystemExit("validate requires fit state; use fit or test")
+
+    results = trainer.test(module, datamodule, params=params, max_batches=args.max_batches)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

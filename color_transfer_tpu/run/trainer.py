@@ -1,0 +1,166 @@
+"""Training / evaluation loops — the Trainer equivalent.
+
+Drives a method module (run/modules.py) over a DataModule on a device mesh:
+batches are sharded along the batch axis ('data'), parameters replicated, and
+the jitted train step lets XLA insert the gradient/metric collectives over
+ICI (the reference relies on Lightning DDP + sync_dist for the same thing,
+reference methods/dcmcs3di.py:79-90).
+"""
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from color_transfer_tpu.data import distortions
+from color_transfer_tpu.parallel import create_mesh, shard_batch, replicated_sharding
+from color_transfer_tpu.run.checkpoint import CheckpointManager
+from color_transfer_tpu.run.datamodule import to_float
+from color_transfer_tpu.run.logging import MetricLogger, MeanAccumulator
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs=100,
+        log_dir="runs/default",
+        log_every=50,
+        seed=42,
+        monitor="Validation PSNR/dataloader_idx_0",
+        use_wandb=False,
+        val_every=1,
+        mesh=None,
+    ):
+        self.max_epochs = max_epochs
+        self.log_dir = Path(log_dir)
+        self.log_every = log_every
+        self.seed = seed
+        self.val_every = val_every
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.logger = MetricLogger(self.log_dir, use_wandb=use_wandb)
+        self.ckpt = CheckpointManager(self.log_dir / "checkpoints", monitor=monitor)
+
+    # -- helpers --
+
+    def _device_batch(self, batch, sharded=True):
+        batch = to_float(batch)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "distortion_idx"}
+        if sharded and batch[next(iter(batch))].shape[0] % self.mesh.devices.size == 0:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    # -- fit --
+
+    def fit(self, module, datamodule, resume=None):
+        rng = jax.random.PRNGKey(self.seed)
+
+        train_loader = datamodule.train_loader()
+        steps_per_epoch = len(train_loader)
+        num_train_steps = steps_per_epoch * self.max_epochs
+
+        sample = self._device_batch(next(iter(train_loader)), sharded=False)
+        init_rng, rng = jax.random.split(rng)
+        state = module.init_state(init_rng, sample, num_train_steps)
+
+        if resume is not None:
+            from color_transfer_tpu.run.checkpoint import load_checkpoint
+
+            state, meta = load_checkpoint(resume, target=state)
+
+        params_sharding = replicated_sharding(self.mesh)
+        state = jax.device_put(state, params_sharding)
+
+        step = int(state.step)
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            for batch in train_loader:
+                batch = self._device_batch(batch)
+                key = jax.random.fold_in(rng, step)
+                state, logs = module.train_step(state, batch, key)
+                if step % self.log_every == 0:
+                    self.logger.log(
+                        {k: float(v) for k, v in logs.items()}, step=step
+                    )
+                step += 1
+
+            epoch_time = time.time() - t0
+            self.logger.log({"epoch": epoch, "epoch_time": epoch_time}, step=step)
+
+            if (epoch + 1) % self.val_every == 0:
+                val_metrics = self.validate(module, datamodule, state, step)
+                self.ckpt.save_last(
+                    {"params": state.params, "opt_state": state.opt_state},
+                    hparams=module.hparams,
+                    step=step,
+                )
+                if self.ckpt.monitor in val_metrics:
+                    self.ckpt.save_best(
+                        {"params": state.params, "opt_state": state.opt_state},
+                        val_metrics,
+                        hparams=module.hparams,
+                        step=step,
+                    )
+        return state
+
+    # -- validation --
+
+    def validate(self, module, datamodule, state, step, max_batches=None):
+        rng = jax.random.PRNGKey(self.seed + 1)
+        all_metrics = {}
+        for idx, loader in enumerate(datamodule.val_loaders()):
+            acc = MeanAccumulator()
+            for b_i, batch in enumerate(loader):
+                if max_batches is not None and b_i >= max_batches:
+                    break
+                batch = self._device_batch(batch, sharded=False)
+                if "target" not in batch:
+                    # Artificial val set: synthesize the distorted target
+                    # on-device (the reference does it in the Dataset,
+                    # utils/data.py:82).
+                    keys = jax.random.split(
+                        jax.random.fold_in(rng, b_i), batch["gt"].shape[0]
+                    )
+                    target = jax.vmap(distortions.apply_uniform_distortions)(
+                        batch["gt"], keys
+                    )
+                    batch = {**batch, "target": target}
+                logs = module.val_step(state, batch)
+                acc.update({k: float(v) for k, v in logs.items()})
+            means = acc.means()
+            all_metrics.update(
+                {f"Validation {k}/dataloader_idx_{idx}": v for k, v in means.items()}
+            )
+        if all_metrics:
+            self.logger.log(all_metrics, step=step)
+        return all_metrics
+
+    # -- test --
+
+    def test(self, module, datamodule, params=None, max_batches=None):
+        """Full eval sweep: artificial grid + real-world, PSNR/SSIM/FSIM/iCID
+        (the reference's `test` subcommand, methods/__init__.py:29-40)."""
+        grid = distortions.setup_grid_distortions()
+        results = {}
+        for idx, loader in enumerate(datamodule.test_loaders()):
+            acc = MeanAccumulator()
+            for b_i, batch in enumerate(loader):
+                if max_batches is not None and b_i >= max_batches:
+                    break
+                dist_idx = batch.pop("distortion_idx", None)
+                batch = self._device_batch(batch, sharded=False)
+                if "target" not in batch:
+                    # Artificial test: apply the grid distortion by index.
+                    fn = grid[int(dist_idx[0])]
+                    batch = {**batch, "target": fn(batch["gt"])}
+                out = module.eval_forward(params, batch)
+                logs = module.eval_metrics(out, batch["gt"])
+                acc.update({k: float(v) for k, v in logs.items()})
+            means = acc.means()
+            results.update(
+                {f"Test {k}/dataloader_idx_{idx}": v for k, v in means.items()}
+            )
+        self.logger.log(results, step=0)
+        return results
