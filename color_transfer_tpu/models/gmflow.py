@@ -1,0 +1,690 @@
+"""GMFlow / UniMatch optical-flow matcher in Flax (NHWC, TPU-first).
+
+Re-design of the reference's vendored unimatch (reference unimatch/*.py,
+config: 2 scales, 128 channels, upsample x4, 6 transformer layers, 6 GRU
+refinements — reference unimatch/__init__.py:18-27). Used frozen inside DMSCT
+(reference methods/dmsct.py:30-32). Key re-design decisions:
+
+  * channel-last everywhere; attention as einsum contractions on the MXU;
+  * the swin shifted-window masks are built in numpy at trace time from the
+    static feature shape (the reference builds them per forward on device,
+    unimatch/transformer.py:248-269);
+  * the 6-step GRU refinement is a python loop over static iterations
+    (weights shared; XLA unrolls — a lax.scan would re-trace the same body);
+  * bidirectional flow: batch-block layout [forward x B, backward x B]. The
+    reference wrapper de-interleaves with [::2] (unimatch/__init__.py:138),
+    which is only correct for B == 1 given the block-concat construction in
+    unimatch/matching.py:27; this implementation splits at B which is correct
+    for every batch size.
+
+Weight porting: tools/convert_gmflow.py maps the published torch checkpoint
+onto these module names one-to-one.
+"""
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from color_transfer_tpu.core.resize import resize_bilinear
+from color_transfer_tpu.core.sampling import (
+    coords_grid,
+    grid_sample,
+    flow_warp,
+    forward_backward_consistency,
+)
+
+# ---------------------------------------------------------------------------
+# CNN encoder (reference unimatch/backbone.py)
+# ---------------------------------------------------------------------------
+
+
+class _InstanceNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, name="conv1")(x)
+        y = nn.relu(_InstanceNorm(name="norm1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = nn.relu(_InstanceNorm(name="norm2")(y))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                        name="downsample_conv")(x)
+            x = _InstanceNorm(name="norm3")(x)
+        return nn.relu(x + y)
+
+
+class CNNEncoder(nn.Module):
+    """RAFT-style encoder emitting 2 scales (1/8 and 1/4) via a shared-weight
+    trident conv (reference unimatch/backbone.py:42-120)."""
+
+    output_dim: int = 128
+    num_output_scales: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_InstanceNorm(name="norm1")(x))
+
+        x = ResidualBlock(64, 1, name="layer1_0")(x)
+        x = ResidualBlock(64, 1, name="layer1_1")(x)
+        x = ResidualBlock(96, 2, name="layer2_0")(x)
+        x = ResidualBlock(96, 1, name="layer2_1")(x)
+        stride3 = 2 if self.num_output_scales == 1 else 1
+        x = ResidualBlock(128, stride3, name="layer3_0")(x)
+        x = ResidualBlock(128, 1, name="layer3_1")(x)
+        x = nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+
+        if self.num_output_scales > 1:
+            # Shared 3x3 weight applied at strides (1, 2)
+            # (reference unimatch/trident_conv.py:64-90).
+            kernel = self.param(
+                "trident_kernel",
+                nn.initializers.kaiming_normal(),
+                (3, 3, self.output_dim, self.output_dim),
+            )
+            outs = []
+            for stride in (1, 2):
+                outs.append(
+                    jax.lax.conv_general_dilated(
+                        x, kernel, (stride, stride), [(1, 1), (1, 1)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                )
+            return outs  # high to low res: [1/8-at-stride1 ... ] per reference
+        return [x]
+
+
+# ---------------------------------------------------------------------------
+# Position embedding (reference unimatch/position.py)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _sine_position(h, w, num_pos_feats=64, temperature=10000, scale=2 * math.pi):
+    """DETR sine embedding on an all-ones mask, numpy, (H, W, 2*num)."""
+    y_embed = np.cumsum(np.ones((h, w)), axis=0)
+    x_embed = np.cumsum(np.ones((h, w)), axis=1)
+    eps = 1e-6
+    y_embed = y_embed / (y_embed[-1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+
+    dim_t = np.arange(num_pos_feats, dtype=np.float64)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    pos_x = x_embed[:, :, None] / dim_t
+    pos_y = y_embed[:, :, None] / dim_t
+    pos_x = np.stack([np.sin(pos_x[..., 0::2]), np.cos(pos_x[..., 1::2])], axis=-1
+                     ).reshape(h, w, -1)
+    pos_y = np.stack([np.sin(pos_y[..., 0::2]), np.cos(pos_y[..., 1::2])], axis=-1
+                     ).reshape(h, w, -1)
+    return np.concatenate([pos_y, pos_x], axis=-1).astype(np.float32)
+
+
+def feature_add_position(feature0, feature1, attn_splits, channels):
+    """Add the sine embedding per split window (reference unimatch/utils.py:114-134)."""
+    b, h, w, c = feature0.shape
+    if attn_splits > 1:
+        hs, ws = h // attn_splits, w // attn_splits
+        pos_small = jnp.asarray(_sine_position(hs, ws, channels // 2))
+        pos = jnp.tile(pos_small, (attn_splits, attn_splits, 1))
+    else:
+        pos = jnp.asarray(_sine_position(h, w, channels // 2))
+    return feature0 + pos, feature1 + pos
+
+
+# ---------------------------------------------------------------------------
+# Swin window helpers (reference unimatch/utils.py:37-111)
+# ---------------------------------------------------------------------------
+
+
+def split_windows(x, k):
+    """(B, H, W, C) -> (B*k*k, H/k, W/k, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, k, h // k, k, w // k, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b * k * k, h // k, w // k, c)
+
+
+def merge_windows(x, k):
+    bk, hs, ws, c = x.shape
+    b = bk // (k * k)
+    x = x.reshape(b, k, k, hs, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, k * hs, k * ws, c)
+
+
+@lru_cache(maxsize=32)
+def _shift_window_mask(h, w, k):
+    """Additive (-100 / 0) mask for shifted-window attention, numpy,
+    shape (k*k, hs*ws, hs*ws) (reference unimatch/utils.py:87-111)."""
+    hs, ws = h // k, w // k
+    sh, sw = hs // 2, ws // 2
+    img = np.zeros((1, h, w, 1), dtype=np.float32)
+    cnt = 0
+    for hsl in (slice(0, -hs), slice(-hs, -sh), slice(-sh, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -sw), slice(-sw, None)):
+            img[:, hsl, wsl, :] = cnt
+            cnt += 1
+    win = img.reshape(1, k, hs, k, ws, 1).transpose(0, 1, 3, 2, 4, 5)
+    win = win.reshape(k * k, hs * ws)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _attention(q, k, v, mask=None):
+    """Scaled softmax attention over flattened tokens: (B, L, C) each."""
+    c = q.shape[-1]
+    scores = jnp.einsum("blc,bmc->blm", q, k) / math.sqrt(c)
+    if mask is not None:
+        scores = scores + mask
+    return jnp.einsum("blm,bmc->blc", jax.nn.softmax(scores, axis=-1), v)
+
+
+def swin_attention(q, k, v, num_splits, with_shift, h, w):
+    """Split-window attention with optional swin shift
+    (reference unimatch/attention.py:48-107)."""
+    b, _, c = q.shape
+    q = q.reshape(b, h, w, c)
+    k = k.reshape(b, h, w, c)
+    v = v.reshape(b, h, w, c)
+
+    if num_splits <= 1:
+        return _attention(
+            q.reshape(b, h * w, c), k.reshape(b, h * w, c), v.reshape(b, h * w, c)
+        )
+
+    hs, ws = h // num_splits, w // num_splits
+    mask = None
+    if with_shift:
+        q = jnp.roll(q, (-(hs // 2), -(ws // 2)), axis=(1, 2))
+        k = jnp.roll(k, (-(hs // 2), -(ws // 2)), axis=(1, 2))
+        v = jnp.roll(v, (-(hs // 2), -(ws // 2)), axis=(1, 2))
+        mask = jnp.tile(jnp.asarray(_shift_window_mask(h, w, num_splits)), (b, 1, 1))
+
+    qw = split_windows(q, num_splits).reshape(-1, hs * ws, c)
+    kw = split_windows(k, num_splits).reshape(-1, hs * ws, c)
+    vw = split_windows(v, num_splits).reshape(-1, hs * ws, c)
+
+    out = _attention(qw, kw, vw, mask)
+    out = merge_windows(out.reshape(-1, hs, ws, c), num_splits)
+    if with_shift:
+        out = jnp.roll(out, (hs // 2, ws // 2), axis=(1, 2))
+    return out.reshape(b, h * w, c)
+
+
+# ---------------------------------------------------------------------------
+# Feature transformer (reference unimatch/transformer.py)
+# ---------------------------------------------------------------------------
+
+
+class TransformerLayer(nn.Module):
+    d_model: int = 128
+    no_ffn: bool = False
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(self, source, target, h, w, with_shift, attn_num_splits):
+        init = nn.initializers.xavier_uniform()
+        q = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="q_proj")(source)
+        k = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="k_proj")(target)
+        v = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="v_proj")(target)
+
+        message = swin_attention(q, k, v, attn_num_splits, with_shift, h, w)
+        message = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="merge")(message)
+        message = nn.LayerNorm(name="norm1")(message)
+
+        if not self.no_ffn:
+            y = jnp.concatenate([source, message], axis=-1)
+            y = nn.Dense(2 * self.d_model * self.ffn_dim_expansion, use_bias=False,
+                         kernel_init=init, name="mlp_0")(y)
+            y = nn.gelu(y, approximate=False)
+            message = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
+                               name="mlp_2")(y)
+            message = nn.LayerNorm(name="norm2")(message)
+        return source + message
+
+
+class TransformerBlock(nn.Module):
+    """self-attn (no FFN) + cross-attn + FFN (reference transformer.py:150-203)."""
+
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(self, source, target, h, w, with_shift, attn_num_splits):
+        source = TransformerLayer(
+            self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
+            name="self_attn",
+        )(source, source, h, w, with_shift, attn_num_splits)
+        source = TransformerLayer(
+            self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
+            name="cross_attn_ffn",
+        )(source, target, h, w, with_shift, attn_num_splits)
+        return source
+
+
+class FeatureTransformer(nn.Module):
+    num_layers: int = 6
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feature0, feature1, attn_num_splits):
+        b, h, w, c = feature0.shape
+        concat0 = jnp.concatenate(
+            [feature0.reshape(b, h * w, c), feature1.reshape(b, h * w, c)], axis=0
+        )
+        concat1 = jnp.concatenate(
+            [feature1.reshape(b, h * w, c), feature0.reshape(b, h * w, c)], axis=0
+        )
+        for i in range(self.num_layers):
+            concat0 = TransformerBlock(
+                self.d_model, self.ffn_dim_expansion, name=f"layer_{i}"
+            )(
+                concat0,
+                concat1,
+                h,
+                w,
+                with_shift=attn_num_splits > 1 and i % 2 == 1,
+                attn_num_splits=attn_num_splits,
+            )
+            half0, half1 = jnp.split(concat0, 2, axis=0)
+            concat1 = jnp.concatenate([half1, half0], axis=0)
+
+        f0, f1 = jnp.split(concat0, 2, axis=0)
+        return f0.reshape(b, h, w, c), f1.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Correlation / matching (reference unimatch/matching.py)
+# ---------------------------------------------------------------------------
+
+
+def global_correlation_softmax(feature0, feature1, pred_bidir_flow=False):
+    """All-pairs correlation -> softmax -> expected coords -> flow
+    (reference matching.py:10-39). Bidirectional output is block-concat
+    [forward x B, backward x B]."""
+    b, h, w, c = feature0.shape
+    f0 = feature0.reshape(b, h * w, c)
+    f1 = feature1.reshape(b, h * w, c)
+
+    correlation = jnp.einsum("blc,bmc->blm", f0, f1) / math.sqrt(c)
+
+    grid = coords_grid(h, w).reshape(h * w, 2)  # (L, 2)
+
+    if pred_bidir_flow:
+        correlation = jnp.concatenate(
+            [correlation, correlation.transpose(0, 2, 1)], axis=0
+        )
+        b = b * 2
+
+    prob = jax.nn.softmax(correlation, axis=-1)
+    correspondence = jnp.einsum("blm,mk->blk", prob, grid)
+    flow = correspondence.reshape(b, h, w, 2) - grid.reshape(1, h, w, 2)
+    return flow, prob
+
+
+def _window_offsets(radius, dtype=jnp.float32):
+    r = jnp.arange(-radius, radius + 1, dtype=dtype)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # ((2R+1)^2, 2) as (x, y)
+
+
+def local_correlation_softmax(feature0, feature1, local_radius):
+    """Windowed correlation softmax (reference matching.py:42-86)."""
+    b, h, w, c = feature0.shape
+    coords = coords_grid(h, w)  # (H, W, 2)
+    offsets = _window_offsets(local_radius)  # (K2, 2)
+    sample_coords = coords[:, :, None, :] + offsets  # (H, W, K2, 2)
+
+    valid = (
+        (sample_coords[..., 0] >= 0)
+        & (sample_coords[..., 0] < w)
+        & (sample_coords[..., 1] >= 0)
+        & (sample_coords[..., 1] < h)
+    )  # (H, W, K2)
+
+    window_feature = jax.vmap(lambda img: grid_sample(img, sample_coords))(
+        feature1
+    )  # (B, H, W, K2, C)
+    corr = jnp.einsum("bhwc,bhwkc->bhwk", feature0, window_feature) / math.sqrt(c)
+    corr = jnp.where(valid, corr, -1e9)
+    prob = jax.nn.softmax(corr, axis=-1)
+    correspondence = jnp.einsum("bhwk,hwkt->bhwt", prob, sample_coords)
+    return correspondence - coords, prob
+
+
+def local_correlation_with_flow(feature0, feature1, flow, local_radius):
+    """Windowed correlation at flow-displaced positions, no softmax —
+    feeds the GRU refiner (reference matching.py:89-126)."""
+    b, h, w, c = feature0.shape
+    coords = coords_grid(h, w)
+    offsets = _window_offsets(local_radius)
+    sample_coords = (
+        coords[None, :, :, None, :] + offsets[None, None, None] + flow[:, :, :, None, :]
+    )  # (B, H, W, K2, 2)
+    window_feature = jax.vmap(grid_sample)(feature1, sample_coords)
+    corr = jnp.einsum("bhwc,bhwkc->bhwk", feature0, window_feature) / math.sqrt(c)
+    return corr  # (B, H, W, K2)
+
+
+# ---------------------------------------------------------------------------
+# Self-attention flow propagation (reference unimatch/attention.py:169-256)
+# ---------------------------------------------------------------------------
+
+
+class SelfAttnPropagation(nn.Module):
+    in_channels: int = 128
+
+    @nn.compact
+    def __call__(self, feature0, flow, local_window_attn=False, local_window_radius=1):
+        init = nn.initializers.xavier_uniform()
+        q_proj = nn.Dense(self.in_channels, kernel_init=init, name="q_proj")
+        k_proj = nn.Dense(self.in_channels, kernel_init=init, name="k_proj")
+
+        b, h, w, c = feature0.shape
+        # Reference quirk kept for checkpoint parity: key is a projection of
+        # the already-projected query (reference attention.py:201-208).
+        query = q_proj(feature0)
+        key = k_proj(query)
+
+        if not local_window_attn:
+            q = query.reshape(b, h * w, c)
+            k = key.reshape(b, h * w, c)
+            v = flow.reshape(b, h * w, flow.shape[-1])
+            scores = jnp.einsum("blc,bmc->blm", q, k) / math.sqrt(c)
+            out = jnp.einsum("blm,bmt->blt", jax.nn.softmax(scores, axis=-1), v)
+            return out.reshape(b, h, w, flow.shape[-1])
+
+        # Local 3x3 window: unfold key/flow with zero padding.
+        ksz = 2 * local_window_radius + 1
+        key_w = _unfold_nhwc(key, ksz)  # (B, H, W, K2, C)
+        flow_w = _unfold_nhwc(flow, ksz)  # (B, H, W, K2, 2)
+        scores = jnp.einsum("bhwc,bhwkc->bhwk", query, key_w) / math.sqrt(c)
+        prob = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhwk,bhwkt->bhwt", prob, flow_w)
+
+
+def _unfold_nhwc(x, kernel_size):
+    """Extract kernel_size^2 zero-padded neighborhoods: (B,H,W,C) ->
+    (B,H,W,K2,C), window index row-major like torch F.unfold."""
+    r = kernel_size // 2
+    b, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    views = []
+    for dy in range(kernel_size):
+        for dx in range(kernel_size):
+            views.append(padded[:, dy : dy + h, dx : dx + w, :])
+    return jnp.stack(views, axis=3)
+
+
+# ---------------------------------------------------------------------------
+# GRU refinement (reference unimatch/reg_refine.py)
+# ---------------------------------------------------------------------------
+
+
+class FlowHead(nn.Module):
+    hidden_dim: int = 256
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding=1, name="conv1")(x))
+        return nn.Conv(self.out_dim, (3, 3), padding=1, name="conv2")(x)
+
+
+class SepConvGRU(nn.Module):
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        def gate(name, kern, inp):
+            kh, kw = kern
+            return nn.Conv(
+                self.hidden_dim, (kh, kw), padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                name=name,
+            )(inp)
+
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(gate("convz1", (1, 5), hx))
+        r = nn.sigmoid(gate("convr1", (1, 5), hx))
+        q = nn.tanh(gate("convq1", (1, 5), jnp.concatenate([r * h, x], axis=-1)))
+        h = (1 - z) * h + z * q
+
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(gate("convz2", (5, 1), hx))
+        r = nn.sigmoid(gate("convr2", (5, 1), hx))
+        q = nn.tanh(gate("convq2", (5, 1), jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class BasicMotionEncoder(nn.Module):
+    flow_channels: int = 2
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(flo))
+        out = nn.relu(
+            nn.Conv(128 - self.flow_channels, (3, 3), padding=1, name="conv")(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    downsample_factor: int = 4
+    flow_dim: int = 2
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(self.flow_dim, name="encoder")(flow, corr)
+        inp = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(name="gru")(net, inp)
+        delta_flow = FlowHead(name="flow_head")(net)
+        mask = nn.Conv(256, (3, 3), padding=1, name="mask_0")(net)
+        mask = nn.Conv(
+            self.downsample_factor**2 * 9, (1, 1), name="mask_2"
+        )(nn.relu(mask))
+        return net, mask, delta_flow
+
+
+def upsample_flow_with_mask(flow, up_mask, upsample_factor):
+    """RAFT convex upsampling (reference unimatch/utils.py:137-155)."""
+    b, h, w, _ = flow.shape
+    k = upsample_factor
+    mask = up_mask.reshape(b, h, w, 9, k, k)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    flow_w = _unfold_nhwc(flow * k, 3)  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwnkl,bhwnt->bhwklt", mask, flow_w)  # (B,H,W,k,k,2)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, k, W, k, 2)
+    return up.reshape(b, h * k, w * k, 2)
+
+
+# ---------------------------------------------------------------------------
+# UniMatch core (flow task) + GMFlow wrapper
+# ---------------------------------------------------------------------------
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+class UniMatchFlow(nn.Module):
+    """Flow-task UniMatch with the GMFlow pretrained config
+    (reference unimatch/unimatch.py:19-370, task='flow' branches only; the
+    stereo/depth branches are dead code for this framework's workload)."""
+
+    num_scales: int = 2
+    feature_channels: int = 128
+    upsample_factor: int = 4
+    num_transformer_layers: int = 6
+    ffn_dim_expansion: int = 4
+
+    def setup(self):
+        self.backbone = CNNEncoder(self.feature_channels, self.num_scales)
+        self.transformer = FeatureTransformer(
+            self.num_transformer_layers, self.feature_channels, self.ffn_dim_expansion
+        )
+        self.feature_flow_attn = SelfAttnPropagation(self.feature_channels)
+        self.refine_proj = nn.Conv(256, (1, 1), name="refine_proj")
+        self.refine = BasicUpdateBlock(self.upsample_factor, 2)
+
+    def extract_feature(self, img0, img1):
+        concat = jnp.concatenate([img0, img1], axis=0)
+        features = self.backbone(concat)[::-1]  # low to high res
+        f0 = [jnp.split(f, 2, axis=0)[0] for f in features]
+        f1 = [jnp.split(f, 2, axis=0)[1] for f in features]
+        return f0, f1
+
+    def __call__(
+        self,
+        img0,
+        img1,
+        attn_splits_list=(2, 8),
+        corr_radius_list=(-1, 4),
+        prop_radius_list=(-1, 1),
+        num_reg_refine=6,
+        pred_bidir_flow=False,
+    ):
+        """img0/img1: (B, H, W, 3) in [0, 255]. Returns the final flow
+        ((B or 2B), H, W, 2); bidirectional output is [fwd x B, bwd x B]."""
+        img0 = (img0 / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+        img1 = (img1 / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+
+        feature0_list, feature1_list = self.extract_feature(img0, img1)
+        flow = None
+
+        for scale_idx in range(self.num_scales):
+            feature0, feature1 = feature0_list[scale_idx], feature1_list[scale_idx]
+
+            if pred_bidir_flow and scale_idx > 0:
+                feature0, feature1 = (
+                    jnp.concatenate([feature0, feature1], axis=0),
+                    jnp.concatenate([feature1, feature0], axis=0),
+                )
+            feature0_ori, feature1_ori = feature0, feature1
+
+            if scale_idx > 0:
+                up = resize_bilinear(
+                    jnp.moveaxis(flow, -1, 1), feature0.shape[1:3], align_corners=True
+                )
+                flow = jnp.moveaxis(up, 1, -1) * 2.0
+
+            if flow is not None:
+                flow = jax.lax.stop_gradient(flow)
+                feature1 = jax.vmap(flow_warp)(feature1, flow)
+
+            attn_splits = attn_splits_list[scale_idx]
+            corr_radius = corr_radius_list[scale_idx]
+            prop_radius = prop_radius_list[scale_idx]
+
+            feature0, feature1 = feature_add_position(
+                feature0, feature1, attn_splits, self.feature_channels
+            )
+            feature0, feature1 = self.transformer(feature0, feature1, attn_splits)
+
+            if corr_radius == -1:
+                flow_pred = global_correlation_softmax(
+                    feature0, feature1, pred_bidir_flow
+                )[0]
+            else:
+                flow_pred = local_correlation_softmax(feature0, feature1, corr_radius)[0]
+
+            flow = flow + flow_pred if flow is not None else flow_pred
+
+            if pred_bidir_flow and scale_idx == 0:
+                feature0 = jnp.concatenate([feature0, feature1], axis=0)
+
+            flow = self.feature_flow_attn(
+                feature0,
+                jax.lax.stop_gradient(flow),
+                local_window_attn=prop_radius > 0,
+                local_window_radius=prop_radius,
+            )
+
+            if scale_idx == self.num_scales - 1:
+                for _ in range(num_reg_refine):
+                    flow = jax.lax.stop_gradient(flow)
+                    correlation = local_correlation_with_flow(
+                        feature0_ori, feature1_ori, flow, local_radius=4
+                    )
+                    proj = self.refine_proj(feature0)
+                    net, inp = jnp.split(proj, 2, axis=-1)
+                    net = jnp.tanh(net)
+                    inp = nn.relu(inp)
+                    net, up_mask, residual_flow = self.refine(net, inp, correlation, flow)
+                    flow = flow + residual_flow
+
+                flow_up = upsample_flow_with_mask(flow, up_mask, self.upsample_factor)
+
+        return flow_up
+
+
+class GMFlow(nn.Module):
+    """Inference wrapper with the reference's resize / bidirectional /
+    occlusion protocol (reference unimatch/__init__.py:60-167)."""
+
+    inference_size: tuple = None  # static (H, W) the matcher runs at
+
+    def setup(self):
+        self.core = UniMatchFlow()
+
+    def __call__(self, img0, img1, pred_bidir_flow=True, fwd_bwd_consistency_check=True):
+        """img0/img1: (B, H, W, 3) in [0, 255]. Returns dict with 'flow'
+        (B, H, W, 2) and, when requested, 'flow_bwd', 'fwd_occ', 'bwd_occ'."""
+        b, orig_h, orig_w, _ = img0.shape
+
+        if self.inference_size is None:
+            inf_h = -(-orig_h // 32) * 32
+            inf_w = -(-orig_w // 32) * 32
+        else:
+            inf_h, inf_w = self.inference_size
+
+        def resize(img, hw):
+            return jnp.moveaxis(
+                resize_bilinear(jnp.moveaxis(img, -1, 1), hw, align_corners=True), 1, -1
+            )
+
+        if (inf_h, inf_w) != (orig_h, orig_w):
+            img0 = resize(img0, (inf_h, inf_w))
+            img1 = resize(img1, (inf_h, inf_w))
+
+        flow_pr = self.core(img0, img1, pred_bidir_flow=pred_bidir_flow)
+
+        if (inf_h, inf_w) != (orig_h, orig_w):
+            flow_pr = resize(flow_pr, (orig_h, orig_w))
+            flow_pr = flow_pr * jnp.array(
+                [orig_w / inf_w, orig_h / inf_h], dtype=flow_pr.dtype
+            )
+
+        if not pred_bidir_flow:
+            return {"flow": flow_pr}
+
+        flow, flow_bwd = flow_pr[:b], flow_pr[b:]
+        results = {"flow": flow, "flow_bwd": flow_bwd}
+        if fwd_bwd_consistency_check:
+            fwd_occ, bwd_occ = jax.vmap(forward_backward_consistency)(flow, flow_bwd)
+            results["fwd_occ"] = fwd_occ[..., None]
+            results["bwd_occ"] = bwd_occ[..., None]
+        return results
