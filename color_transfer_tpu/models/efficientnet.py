@@ -1,0 +1,173 @@
+"""EfficientNet encoder (b0-scalable, b2 by default) in Flax, NHWC.
+
+DMSCT's trainable corrector uses segmentation_models_pytorch's
+``get_encoder("efficientnet-b2", depth=4, weights=None)`` (reference
+methods/dmsct.py:34-38) — an *untrained* encoder (configs/dmsct.yaml:7), so
+only architectural parity matters here: feature maps at reductions
+(1, 2, 4, 8, 16) with channels (3, 16, 24, 48, 120) for b2/depth-4.
+
+Standard EfficientNet ingredients: MBConv with expansion, depthwise conv,
+squeeze-excite (ratio 0.25 of the block's input filters), BatchNorm
+(momentum 0.99 / eps 1e-3), SiLU, stochastic depth (drop-connect 0.2 scaled
+by block depth).
+"""
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# (kernel, stride, expand, base_out_filters, base_repeats) for b0 stages.
+_B0_STAGES = [
+    (3, 1, 1, 16, 1),
+    (3, 2, 6, 24, 2),
+    (5, 2, 6, 40, 2),
+    (3, 2, 6, 80, 3),
+    (5, 1, 6, 112, 3),
+    (5, 2, 6, 192, 4),
+    (3, 1, 6, 320, 1),
+]
+
+_COEFFS = {  # width, depth
+    "efficientnet-b0": (1.0, 1.0),
+    "efficientnet-b1": (1.0, 1.1),
+    "efficientnet-b2": (1.1, 1.2),
+    "efficientnet-b3": (1.2, 1.4),
+}
+
+
+def round_filters(filters, width, divisor=8):
+    filters *= width
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:
+        new += divisor
+    return int(new)
+
+
+def round_repeats(repeats, depth):
+    return int(math.ceil(depth * repeats))
+
+
+def encoder_out_channels(name="efficientnet-b2", depth=4):
+    """smp-compatible out_channels tuple, e.g. b2/depth4 -> (3,16,24,48,120)."""
+    width, _ = _COEFFS[name]
+    stage_out = [round_filters(s[3], width) for s in _B0_STAGES]
+    # reductions: input, 1/2 (stage0), 1/4 (stage1), 1/8 (stage2),
+    # 1/16 (stage4), 1/32 (stage6)
+    channels = (3, stage_out[0], stage_out[1], stage_out[2], stage_out[4], stage_out[6])
+    return channels[: depth + 1]
+
+
+class _BN(nn.Module):
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.99,
+            epsilon=1e-3,
+        )(x)
+
+
+class MBConv(nn.Module):
+    in_filters: int
+    out_filters: int
+    kernel: int
+    stride: int
+    expand: int
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        inp = x
+        filters = self.in_filters * self.expand
+        if self.expand != 1:
+            x = nn.Conv(filters, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = _BN(not train, name="bn0")(x)
+            x = nn.silu(x)
+
+        # Depthwise conv
+        pad = self.kernel // 2
+        x = nn.Conv(
+            filters,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=filters,
+            use_bias=False,
+            name="depthwise_conv",
+        )(x)
+        x = _BN(not train, name="bn1")(x)
+        x = nn.silu(x)
+
+        # Squeeze-excite on the block's input filter count.
+        se_filters = max(1, int(self.in_filters * self.se_ratio))
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.silu(nn.Conv(se_filters, (1, 1), name="se_reduce")(se))
+        se = nn.sigmoid(nn.Conv(filters, (1, 1), name="se_expand")(se))
+        x = x * se
+
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
+        x = _BN(not train, name="bn2")(x)
+
+        if self.stride == 1 and self.in_filters == self.out_filters:
+            if train and self.drop_rate > 0:
+                keep = 1.0 - self.drop_rate
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (x.shape[0], 1, 1, 1)
+                )
+                x = x * mask.astype(x.dtype) / keep
+            x = x + inp
+        return x
+
+
+class EfficientNetEncoder(nn.Module):
+    """Returns the smp-style feature pyramid [input, f2, f4, f8, f16, ...]
+    up to ``depth`` reductions."""
+
+    name_variant: str = "efficientnet-b2"
+    depth: int = 4
+    drop_connect_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        width, depth_c = _COEFFS[self.name_variant]
+        features = [x]
+
+        stem = round_filters(32, width)
+        y = nn.Conv(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="stem_conv")(x)
+        y = _BN(not train, name="stem_bn")(y)
+        y = nn.silu(y)
+
+        total_blocks = sum(round_repeats(s[4], depth_c) for s in _B0_STAGES)
+        block_idx = 0
+        in_filters = stem
+        # Feature taps after stages 0, 1, 2, 4, 6 (reductions 2,4,8,16,32).
+        taps = {0: 1, 1: 2, 2: 3, 4: 4, 6: 5}
+
+        for stage_idx, (k, s, e, base_out, base_r) in enumerate(_B0_STAGES):
+            out_filters = round_filters(base_out, width)
+            repeats = round_repeats(base_r, depth_c)
+            for r in range(repeats):
+                y = MBConv(
+                    in_filters=in_filters,
+                    out_filters=out_filters,
+                    kernel=k,
+                    stride=s if r == 0 else 1,
+                    expand=e,
+                    drop_rate=self.drop_connect_rate * block_idx / total_blocks,
+                    name=f"stage{stage_idx}_block{r}",
+                )(y, train=train)
+                in_filters = out_filters
+                block_idx += 1
+            if stage_idx in taps and taps[stage_idx] <= self.depth:
+                features.append(y)
+            if len(features) == self.depth + 1:
+                break
+
+        return features

@@ -646,20 +646,28 @@ class GMFlow(nn.Module):
     occlusion protocol (reference unimatch/__init__.py:60-167)."""
 
     inference_size: tuple = None  # static (H, W) the matcher runs at
+    num_transformer_layers: int = 6
+    num_reg_refine: int = 6
 
     def setup(self):
-        self.core = UniMatchFlow()
+        self.core = UniMatchFlow(
+            num_transformer_layers=self.num_transformer_layers
+        )
 
-    def __call__(self, img0, img1, pred_bidir_flow=True, fwd_bwd_consistency_check=True):
+    def __call__(self, img0, img1, pred_bidir_flow=True,
+                 fwd_bwd_consistency_check=True, inference_size=None):
         """img0/img1: (B, H, W, 3) in [0, 255]. Returns dict with 'flow'
-        (B, H, W, 2) and, when requested, 'flow_bwd', 'fwd_occ', 'bwd_occ'."""
+        (B, H, W, 2) and, when requested, 'flow_bwd', 'fwd_occ', 'bwd_occ'.
+        ``inference_size`` (static) overrides the module default; None means
+        round up to the next x32 (reference unimatch/__init__.py:96-100)."""
         b, orig_h, orig_w, _ = img0.shape
 
-        if self.inference_size is None:
+        inference_size = inference_size or self.inference_size
+        if inference_size is None:
             inf_h = -(-orig_h // 32) * 32
             inf_w = -(-orig_w // 32) * 32
         else:
-            inf_h, inf_w = self.inference_size
+            inf_h, inf_w = inference_size
 
         def resize(img, hw):
             return jnp.moveaxis(
@@ -670,7 +678,10 @@ class GMFlow(nn.Module):
             img0 = resize(img0, (inf_h, inf_w))
             img1 = resize(img1, (inf_h, inf_w))
 
-        flow_pr = self.core(img0, img1, pred_bidir_flow=pred_bidir_flow)
+        flow_pr = self.core(
+            img0, img1, pred_bidir_flow=pred_bidir_flow,
+            num_reg_refine=self.num_reg_refine,
+        )
 
         if (inf_h, inf_w) != (orig_h, orig_w):
             flow_pr = resize(flow_pr, (orig_h, orig_w))

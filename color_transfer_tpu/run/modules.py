@@ -151,11 +151,164 @@ class ClassicalModule:
         return quality_metrics(out, gt, "", True)
 
 
+class BNTrainState(train_state.TrainState):
+    """TrainState carrying BatchNorm statistics (DMSCT's encoder)."""
+
+    batch_stats: dict = None
+
+
+class DMSCTModule:
+    """The reference authors' method: frozen GMFlow matcher + trainable
+    EfficientNet/UNet corrector; AdamW(3e-4) with per-step cosine annealing
+    to 1e-6 and MSE + 0.1*SSIM loss (reference methods/dmsct.py:118-131,
+    :186-195). Matcher parameters are masked out of the optimizer — the JAX
+    analogue of requires_grad=False (reference :31-32)."""
+
+    name = "dmsct"
+
+    def __init__(
+        self,
+        encoder_name="efficientnet-b2",
+        encoder_depth=4,
+        encoder_weights=None,
+        decoder_channels=(256, 128, 64, 32),
+        learning_rate=3e-4,
+        eta_min=1e-6,
+        weight_decay=0.01,
+        heavy_metrics=True,
+        matcher_checkpoint=None,
+        matcher_num_layers=6,
+        matcher_num_reg_refine=6,
+    ):
+        from color_transfer_tpu.models.dmsct import DMSCT
+
+        del encoder_weights  # reference configs pass null (untrained encoder)
+        self.model = DMSCT(
+            encoder_name=encoder_name,
+            encoder_depth=encoder_depth,
+            decoder_channels=tuple(decoder_channels),
+            matcher_num_layers=matcher_num_layers,
+            matcher_num_reg_refine=matcher_num_reg_refine,
+        )
+        self.learning_rate = learning_rate
+        self.eta_min = eta_min
+        self.weight_decay = weight_decay
+        self.heavy_metrics = heavy_metrics
+        self.matcher_checkpoint = matcher_checkpoint
+        self.hparams = {
+            "encoder_name": encoder_name,
+            "encoder_depth": encoder_depth,
+            "decoder_channels": list(decoder_channels),
+            "learning_rate": learning_rate,
+        }
+
+    def make_optimizer(self, num_train_steps=None):
+        steps = num_train_steps or 10_000
+        schedule = optax.cosine_decay_schedule(
+            self.learning_rate, steps, alpha=self.eta_min / self.learning_rate
+        )
+        adamw = optax.adamw(schedule, weight_decay=self.weight_decay)
+
+        def label(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen"
+                if path and getattr(path[0], "key", None) == "matcher"
+                else "trainable",
+                params,
+            )
+
+        return optax.multi_transform(
+            {"trainable": adamw, "frozen": optax.set_to_zero()}, label
+        )
+
+    def init_state(self, rng, sample_batch, num_train_steps=None):
+        p_rng, d_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": p_rng, "dropout": d_rng},
+            sample_batch["gt"],
+            sample_batch["reference"],
+        )
+        params = variables["params"]
+        if self.matcher_checkpoint is not None:
+            from color_transfer_tpu.tools.convert_gmflow import load_matcher_params
+
+            params = dict(params)
+            params["matcher"] = load_matcher_params(
+                self.matcher_checkpoint, params["matcher"]
+            )
+        return BNTrainState.create(
+            apply_fn=self.model.apply,
+            params=params,
+            tx=self.make_optimizer(num_train_steps),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    def synthesize_targets(self, batch, key):
+        keys = jax.random.split(key, batch["gt"].shape[0])
+        target = jax.vmap(distortions.apply_uniform_distortions)(batch["gt"], keys)
+        return {**batch, "target": target}
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state, batch, key):
+        from color_transfer_tpu.models.dmsct import compute_losses
+
+        key, d_key = jax.random.split(key)
+        batch = self.synthesize_targets(batch, key)
+
+        def loss_fn(params):
+            result, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["target"],
+                batch["reference"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": d_key},
+            )
+            total, parts = compute_losses(result, batch["gt"])
+            return total, (result, parts, updates)
+
+        (total, (result, parts, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates["batch_stats"])
+
+        logs = {f"Training {k}": v for k, v in parts.items()}
+        logs.update(
+            quality_metrics(result, batch["gt"], "Training ", self.heavy_metrics)
+        )
+        logs["Training Total Loss"] = total
+        return state, logs
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def val_step(self, state, batch):
+        from color_transfer_tpu.models.dmsct import compute_losses
+
+        result = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["target"],
+            batch["reference"],
+        )
+        _, parts = compute_losses(result, batch["gt"])
+        logs = dict(parts)
+        logs.update(quality_metrics(result, batch["gt"], "", self.heavy_metrics))
+        return logs
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_forward(self, variables, batch):
+        return self.model.apply(variables, batch["target"], batch["reference"])
+
+    def eval_metrics(self, out, gt):
+        return quality_metrics(out, gt, "", True)
+
+
 MODULE_REGISTRY = {
     "dcmcs3di": DCMCS3DIModule,
+    "dmsct": DMSCTModule,
     "classical": ClassicalModule,
     # Reference class paths resolve to the equivalent modules.
     "methods.dcmcs3di.DCMCS3DI": DCMCS3DIModule,
+    "methods.dmsct.DMSCT": DMSCTModule,
     "methods.Runner": ClassicalModule,
 }
 
