@@ -61,15 +61,46 @@ class DCMCS3DI(nn.Module):
         self.matcher = pasm.PAB(self.channels)
         self.transfer = TransferNet(self.channels, self.transfer_layers)
 
-    def __call__(self, left, right, inference=False):
+    def __call__(self, left, right, inference=False, use_pallas=False,
+                 pallas_interpret=False):
         """left = distorted target view, right = reference view; NHWC [0,1].
 
         Returns (corrected_left, aux) with aux = (att, att_cycle, valid_mask,
         warped_right) exactly like the reference forward
         (reference methods/dcmcs3di.py:53-66).
+
+        ``use_pallas`` (inference only) routes the matcher through the fused
+        row-attention kernel — no (B, H, W, W) materialization, enabling
+        full-res 1080p on one chip (the reference downscales 0.75x instead,
+        demo.ipynb cell 24). aux is (None, ...) on that path.
         """
         fea_left = self.extraction(left)
         fea_right = self.extraction(right)
+
+        if inference and use_pallas:
+            from color_transfer_tpu.ops.row_attention import fused_parallax_inference
+
+            head_l = self.matcher.head(fea_left)
+            head_r = self.matcher.head(fea_right)
+            warped, valid_mask_left = fused_parallax_inference(
+                q_l=self.matcher.query(head_l),
+                k_r=self.matcher.key(head_r),
+                v_r=self.matcher.value(fea_right),
+                q_r=self.matcher.query(head_r),
+                k_l=self.matcher.key(head_l),
+                scale=1.0 / self.channels,
+                interpret=pallas_interpret,
+            )
+            mask = valid_mask_left.astype(fea_left.dtype)
+            corrected = self.transfer(
+                jnp.concatenate([fea_left, warped, mask], axis=-1)
+            )
+            return jnp.clip(corrected, 0.0, 1.0), (
+                (None, None),
+                (None, None),
+                (valid_mask_left, None),
+                None,
+            )
 
         costs = self.matcher(fea_left, fea_right)
         att, att_cycle, valid_mask = pasm.output(costs, inference)
