@@ -62,7 +62,7 @@ class DCMCS3DI(nn.Module):
         self.transfer = TransferNet(self.channels, self.transfer_layers)
 
     def __call__(self, left, right, inference=False, use_pallas=False,
-                 pallas_interpret=False):
+                 pallas_interpret=False, pallas_precise=False):
         """left = distorted target view, right = reference view; NHWC [0,1].
 
         Returns (corrected_left, aux) with aux = (att, att_cycle, valid_mask,
@@ -90,6 +90,7 @@ class DCMCS3DI(nn.Module):
                 k_l=self.matcher.key(head_l),
                 scale=1.0 / self.channels,
                 interpret=pallas_interpret,
+                precise=pallas_precise,
             )
             mask = valid_mask_left.astype(fea_left.dtype)
             corrected = self.transfer(

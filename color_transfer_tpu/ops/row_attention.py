@@ -142,7 +142,8 @@ def row_attention_warp(q, k, v, scale, tq=64, interpret=False, precise=False):
     return out, colsum
 
 
-def fused_parallax_inference(q_l, k_r, v_r, q_r, k_l, scale, interpret=False):
+def fused_parallax_inference(q_l, k_r, v_r, q_r, k_l, scale, interpret=False,
+                             precise=False):
     """The DCMCS3DI inference matcher in two fused kernel calls:
 
       warped  = softmax(q_l k_r^T * scale) @ v_r          (feature warp)
@@ -152,7 +153,11 @@ def fused_parallax_inference(q_l, k_r, v_r, q_r, k_l, scale, interpret=False):
     (reference pasmnet/utils.py:30-40,:108-127) without materializing any
     (B, H, W, W) tensor.
     """
-    warped, _ = row_attention_warp(q_l, k_r, v_r, scale, interpret=interpret)
-    _, colsum = row_attention_warp(q_r, k_l, k_l, scale, interpret=interpret)
+    warped, _ = row_attention_warp(
+        q_l, k_r, v_r, scale, interpret=interpret, precise=precise
+    )
+    _, colsum = row_attention_warp(
+        q_r, k_l, k_l, scale, interpret=interpret, precise=precise
+    )
     valid_mask_left = (colsum > 0.1)[..., None]
     return warped, valid_mask_left

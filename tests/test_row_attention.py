@@ -19,7 +19,7 @@ class TestRowAttentionKernel:
         v = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
         scale = 1.0 / c
 
-        out, colsum = row_attention_warp(q, k, v, scale, tq=32, interpret=True)
+        out, colsum = row_attention_warp(q, k, v, scale, tq=32, interpret=True, precise=True)
 
         att = jax.nn.softmax(jnp.einsum("bhwc,bhvc->bhwv", q, k) * scale, axis=-1)
         want_out = np.asarray(jnp.einsum("bhwv,bhvc->bhwc", att, v))
@@ -37,7 +37,7 @@ class TestRowAttentionKernel:
         scale = 1.0 / c
 
         warped, mask_l = fused_parallax_inference(
-            q_l, k_r, v_r, q_r, k_l, scale, interpret=True
+            q_l, k_r, v_r, q_r, k_l, scale, interpret=True, precise=True
         )
 
         cost_r2l = jnp.einsum("bhwc,bhvc->bhwv", q_l, k_r) * scale
@@ -61,6 +61,21 @@ class TestModelPallasPath:
         ref, _ = model.apply(params, left, right, inference=True)
         fused, _ = model.apply(
             params, left, right, inference=True, use_pallas=True,
-            pallas_interpret=True,
+            pallas_interpret=True, pallas_precise=True,
         )
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+    def test_model_fused_bf16_close(self, rng):
+        # The production TPU path stores K/V in bf16; the end-to-end image
+        # error stays well below metric-visible levels.
+        model = DCMCS3DI(extraction_layers=1, transfer_layers=1, channels=8)
+        b, h, w = 1, 6, 40
+        left = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        right = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), left, right)
+        ref, _ = model.apply(params, left, right, inference=True)
+        fused, _ = model.apply(
+            params, left, right, inference=True, use_pallas=True,
+            pallas_interpret=True,
+        )
+        assert float(jnp.abs(fused - ref).max()) < 5e-3
