@@ -128,6 +128,33 @@ class DCMCS3DIModule:
     def eval_metrics(self, out, gt):
         return quality_metrics(out, gt, "", True)
 
+    def image_panels(self, state, batch):
+        """Best-PSNR-gated qualitative panels (reference
+        methods/dcmcs3di.py:116-144): chess mix, error maps, disparity,
+        warped right view + occlusion mask. Takes the last batch item."""
+        from color_transfer_tpu.models import pasm
+        from color_transfer_tpu.utils import visualizations as viz
+
+        one = {k: v[-1:] for k, v in batch.items()}
+        result, (att, _, valid_mask, warped_right) = self.model.apply(
+            {"params": state.params}, one["target"], one["reference"]
+        )
+        result = jnp.clip(result, 0, 1)
+        disparity = pasm.regress_disp(att[0], valid_mask[0].astype(jnp.float32))
+        disparity = jnp.broadcast_to(
+            (disparity - disparity.min()) / (disparity.ptp() + 1e-9),
+            one["gt"].shape[:-1] + (1,),
+        )
+        occlusion = 1.0 - valid_mask[0].astype(jnp.float32)
+        return {
+            "Left Ground Truth/Corrected": viz.chess_mix(one["gt"], result)[0],
+            "RGB MSE Error": viz.rgbmse(one["gt"], result)[0],
+            "RGB SSIM Error": viz.rgbssim(one["gt"], result)[0],
+            "Disparity": jnp.repeat(disparity[0], 3, axis=-1),
+            "Warped Right": warped_right[0],
+            "Occlusions": jnp.repeat(occlusion[0], 3, axis=-1),
+        }
+
 
 class ClassicalModule:
     """Runner equivalent for the classical methods
@@ -300,6 +327,41 @@ class DMSCTModule:
 
     def eval_metrics(self, out, gt):
         return quality_metrics(out, gt, "", True)
+
+    def image_panels(self, state, batch):
+        """Qualitative panels (reference methods/dmsct.py:148-184): chess
+        mix, error maps, flow visualization, flow-warped reference +
+        occlusion mask."""
+        from color_transfer_tpu.core.sampling import flow_warp
+        from color_transfer_tpu.utils import visualizations as viz
+        from color_transfer_tpu.utils.flow_viz import flow_batch_to_images
+
+        one = {k: v[-1:] for k, v in batch.items()}
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        result = self.model.apply(variables, one["target"], one["reference"])
+
+        matcher_out = self.model.apply(
+            variables,
+            one["target"] * 255.0,
+            one["reference"] * 255.0,
+            method=lambda m, a, b: m.matcher(
+                a, b, pred_bidir_flow=True, fwd_bwd_consistency_check=True
+            ),
+        )
+        flow = matcher_out["flow"]
+        flow_viz_img = (
+            jnp.asarray(flow_batch_to_images(flow), dtype=jnp.float32) / 255.0
+        )
+        warped = jax.vmap(flow_warp)(one["reference"], flow)
+        occ = jnp.repeat(matcher_out["fwd_occ"], 3, axis=-1)
+        return {
+            "Left Ground Truth/Corrected": viz.chess_mix(one["gt"], result)[0],
+            "RGB MSE Error": viz.rgbmse(one["gt"], result)[0],
+            "RGB SSIM Error": viz.rgbssim(one["gt"], result)[0],
+            "Optical Flow": flow_viz_img[0],
+            "Warped Right": warped[0],
+            "Occlusions": occ[0],
+        }
 
 
 MODULE_REGISTRY = {

@@ -74,17 +74,47 @@ class Trainer:
         state = jax.device_put(state, params_sharding)
 
         step = int(state.step)
+        max_scores = {}
         for epoch in range(self.max_epochs):
             t0 = time.time()
+            last_batch = None
+            last_logs = {}
             for batch in train_loader:
                 batch = self._device_batch(batch)
+                last_batch = batch
                 key = jax.random.fold_in(rng, step)
                 state, logs = module.train_step(state, batch, key)
+                last_logs = logs
                 if step % self.log_every == 0:
                     self.logger.log(
                         {k: float(v) for k, v in logs.items()}, step=step
                     )
                 step += 1
+
+            # Best-PSNR-gated qualitative panels (reference
+            # methods/dcmcs3di.py:110-144, methods/dmsct.py:142-184).
+            train_psnr = float(last_logs.get("Training PSNR", 0.0))
+            if (
+                hasattr(module, "image_panels")
+                and last_batch is not None
+                and train_psnr > max_scores.get("Training", 0.0)
+            ):
+                max_scores["Training"] = train_psnr
+                try:
+                    panel_batch = dict(last_batch)
+                    if "target" not in panel_batch:
+                        panel_batch = module.synthesize_targets(
+                            panel_batch, jax.random.fold_in(rng, -1)
+                        )
+                    panels = module.image_panels(state, panel_batch)
+                    self.logger.log_image(
+                        "Training Images",
+                        [np.asarray(v) for v in panels.values()],
+                        caption=list(panels.keys()),
+                        step=step,
+                    )
+                except Exception as e:  # noqa: BLE001 — viz must not kill a run
+                    self.logger.log({"image_log_error": 1.0}, step=step)
 
             epoch_time = time.time() - t0
             self.logger.log({"epoch": epoch, "epoch_time": epoch_time}, step=step)
