@@ -24,12 +24,13 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
-from PIL import Image
+
+from color_transfer_tpu.data import native_loader
 
 
 def _read_image(path):
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    """Native C++ decode (GIL-free) with transparent PIL fallback."""
+    return native_loader.read_image(path)
 
 
 class ArtificialTrainValDataset:
@@ -43,6 +44,7 @@ class ArtificialTrainValDataset:
         assert self.gts, f"no *_L.* images in {image_dir}"
         self.crop_size = tuple(crop_size)
         self.image_repeats = image_repeats
+        self._info_cache = {}
 
     def __len__(self):
         return len(self.gts) * self.image_repeats
@@ -53,15 +55,25 @@ class ArtificialTrainValDataset:
         )
         return self.sample(index, rng)
 
+    def _image_hw(self, path):
+        if path not in self._info_cache:
+            if native_loader.available():
+                self._info_cache[path] = native_loader.image_info(path)
+            else:
+                self._info_cache[path] = _read_image(path).shape[:2]
+        return self._info_cache[path]
+
     def sample(self, index, rng):
-        gt = _read_image(self.gts[index // self.image_repeats])
-        reference = _read_image(self.references[index // self.image_repeats])
+        gt_path = self.gts[index // self.image_repeats]
+        ref_path = self.references[index // self.image_repeats]
 
         ch, cw = self.crop_size
-        top = rng.integers(0, gt.shape[0] - ch)
-        left = rng.integers(0, gt.shape[1] - cw)
-        gt = gt[top : top + ch, left : left + cw]
-        reference = reference[top : top + ch, left : left + cw]
+        h, w = self._image_hw(gt_path)
+        top = int(rng.integers(0, h - ch))
+        left = int(rng.integers(0, w - cw))
+        # Cropped decode: PNG inflation stops at row top+ch.
+        gt = native_loader.read_image_crop(gt_path, top, left, ch, cw)
+        reference = native_loader.read_image_crop(ref_path, top, left, ch, cw)
 
         if rng.random() > 0.5:
             # Horizontal flip turns a left view into a right view — swap.
