@@ -347,42 +347,65 @@ def _window_offsets(radius, dtype=jnp.float32):
     return jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # ((2R+1)^2, 2) as (x, y)
 
 
+def _shift2d(x, dy, dx):
+    """Integer-shifted view with zero padding: out(p) = x(p + (dy, dx))."""
+    h, w = x.shape[1], x.shape[2]
+    padded = jnp.pad(
+        x,
+        ((0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0)),
+    )
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return padded[:, y0 : y0 + h, x0 : x0 + w, :]
+
+
 def local_correlation_softmax(feature0, feature1, local_radius):
-    """Windowed correlation softmax (reference matching.py:42-86)."""
+    """Windowed correlation softmax (reference matching.py:42-86).
+
+    Re-designed memory layout: the window offsets are integers, so the
+    (B, H*W, K^2, C) gathered window tensor the reference builds via
+    grid_sample (>2 GB at the 1080p matcher cap) is replaced by K^2
+    zero-padded shifts, each fused by XLA into one elementwise-dot pass.
+    """
     b, h, w, c = feature0.shape
     coords = coords_grid(h, w)  # (H, W, 2)
     offsets = _window_offsets(local_radius)  # (K2, 2)
-    sample_coords = coords[:, :, None, :] + offsets  # (H, W, K2, 2)
 
-    valid = (
-        (sample_coords[..., 0] >= 0)
-        & (sample_coords[..., 0] < w)
-        & (sample_coords[..., 1] >= 0)
-        & (sample_coords[..., 1] < h)
-    )  # (H, W, K2)
+    corrs = []
+    valids = []
+    for k in range(offsets.shape[0]):
+        dx = int(offsets[k, 0])
+        dy = int(offsets[k, 1])
+        shifted = _shift2d(feature1, dy, dx)
+        corrs.append(jnp.einsum("bhwc,bhwc->bhw", feature0, shifted))
+        x_pos = coords[..., 0] + dx
+        y_pos = coords[..., 1] + dy
+        valids.append((x_pos >= 0) & (x_pos < w) & (y_pos >= 0) & (y_pos < h))
 
-    window_feature = jax.vmap(lambda img: grid_sample(img, sample_coords))(
-        feature1
-    )  # (B, H, W, K2, C)
-    corr = jnp.einsum("bhwc,bhwkc->bhwk", feature0, window_feature) / math.sqrt(c)
+    corr = jnp.stack(corrs, axis=-1) / math.sqrt(c)  # (B, H, W, K2)
+    valid = jnp.stack(valids, axis=-1)  # (H, W, K2)
     corr = jnp.where(valid, corr, -1e9)
     prob = jax.nn.softmax(corr, axis=-1)
+
+    sample_coords = coords[:, :, None, :] + offsets  # (H, W, K2, 2)
     correspondence = jnp.einsum("bhwk,hwkt->bhwt", prob, sample_coords)
     return correspondence - coords, prob
 
 
 def local_correlation_with_flow(feature0, feature1, flow, local_radius):
-    """Windowed correlation at flow-displaced positions, no softmax —
-    feeds the GRU refiner (reference matching.py:89-126)."""
+    """Windowed correlation at flow-displaced positions, no softmax — feeds
+    the GRU refiner (reference matching.py:89-126). One bilinear gather per
+    window offset keeps peak memory at O(B*H*W*C) instead of O(B*H*W*K^2*C).
+    """
     b, h, w, c = feature0.shape
     coords = coords_grid(h, w)
     offsets = _window_offsets(local_radius)
-    sample_coords = (
-        coords[None, :, :, None, :] + offsets[None, None, None] + flow[:, :, :, None, :]
-    )  # (B, H, W, K2, 2)
-    window_feature = jax.vmap(grid_sample)(feature1, sample_coords)
-    corr = jnp.einsum("bhwc,bhwkc->bhwk", feature0, window_feature) / math.sqrt(c)
-    return corr  # (B, H, W, K2)
+    base = coords[None] + flow  # (B, H, W, 2)
+
+    corrs = []
+    for k in range(offsets.shape[0]):
+        sampled = jax.vmap(grid_sample)(feature1, base + offsets[k])
+        corrs.append(jnp.einsum("bhwc,bhwc->bhw", feature0, sampled))
+    return jnp.stack(corrs, axis=-1) / math.sqrt(c)  # (B, H, W, K2)
 
 
 # ---------------------------------------------------------------------------
