@@ -64,22 +64,35 @@ def icid(img1, img2, intent="perceptual", omit_maps67=False, downsampling=True, 
     c1 = jnp.sqrt(a1**2 + b1**2)
     c2 = jnp.sqrt(a2**2 + b2**2)
 
+    # Shift the channels by their global means before computing local
+    # moments: local mean/std/cov are shift-invariant, but evaluating
+    # E[x^2]-E[x]^2 on raw Lab magnitudes (~50-100) loses ~3 decimal digits
+    # to cancellation in f32 (the reference's torch implementation has the
+    # same hazard — its `.real` guard at utils/icid.py:150 exists because of
+    # it). Centering keeps every map in [0, 1] up to true rounding noise.
+    l1c = l1 - jnp.mean(l1, axis=(-2, -1), keepdims=True)
+    l2c = l2 - jnp.mean(l2, axis=(-2, -1), keepdims=True)
+    c1c = c1 - jnp.mean(c1, axis=(-2, -1), keepdims=True)
+    c2c = c2 - jnp.mean(c2, axis=(-2, -1), keepdims=True)
+
     mu_l1, mu_c1 = blur(l1), blur(c1)
     mu_l2, mu_c2 = blur(l2), blur(c2)
+    mu_l1c, mu_c1c = blur(l1c), blur(c1c)
+    mu_l2c, mu_c2c = blur(l2c), blur(c2c)
 
-    def std(x, mu):
-        v = blur(x**2) - mu**2
+    def std(xc, muc):
+        v = blur(xc**2) - muc**2
         return jnp.sqrt(jnp.maximum(v, 0.0))
 
-    s_l1, s_l2 = std(l1, mu_l1), std(l2, mu_l2)
-    s_c1, s_c2 = std(c1, mu_c1), std(c2, mu_c2)
+    s_l1, s_l2 = std(l1c, mu_l1c), std(l2c, mu_l2c)
+    s_c1, s_c2 = std(c1c, mu_c1c), std(c2c, mu_c2c)
 
     dl_sq = (mu_l1 - mu_l2) ** 2
     dc_sq = (mu_c1 - mu_c2) ** 2
     hue = jnp.maximum((a1 - a2) ** 2 + (b1 - b2) ** 2 - (c1 - c2) ** 2, 0.0)
     dh_sq = blur(jnp.sqrt(hue)) ** 2
-    s_l12 = blur(l1 * l2) - mu_l1 * mu_l2
-    s_c12 = blur(c1 * c2) - mu_c1 * mu_c2
+    s_l12 = blur(l1c * l2c) - mu_l1c * mu_l2c
+    s_c12 = blur(c1c * c2c) - mu_c1c * mu_c2c
 
     maps = [
         1.0 / (w[0] * dl_sq + 1.0),

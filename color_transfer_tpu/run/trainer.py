@@ -33,6 +33,8 @@ class Trainer:
         use_wandb=False,
         val_every=1,
         mesh=None,
+        profile_dir=None,
+        profile_steps=(10, 15),
     ):
         self.max_epochs = max_epochs
         self.log_dir = Path(log_dir)
@@ -42,6 +44,8 @@ class Trainer:
         self.mesh = mesh if mesh is not None else create_mesh()
         self.logger = MetricLogger(self.log_dir, use_wandb=use_wandb)
         self.ckpt = CheckpointManager(self.log_dir / "checkpoints", monitor=monitor)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
     # -- helpers --
 
@@ -83,7 +87,18 @@ class Trainer:
                 batch = self._device_batch(batch)
                 last_batch = batch
                 key = jax.random.fold_in(rng, step)
+                if self.profile_dir is not None and step == self.profile_steps[0]:
+                    import jax.profiler
+
+                    jax.profiler.start_trace(str(self.profile_dir))
                 state, logs = module.train_step(state, batch, key)
+                if self.profile_dir is not None and step == self.profile_steps[1]:
+                    import jax.profiler
+
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), logs
+                    )
+                    jax.profiler.stop_trace()
                 last_logs = logs
                 if step % self.log_every == 0:
                     self.logger.log(
