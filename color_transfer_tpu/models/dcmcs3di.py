@@ -74,8 +74,11 @@ class DCMCS3DI(nn.Module):
         full-res 1080p on one chip (the reference downscales 0.75x instead,
         demo.ipynb cell 24). aux is (None, ...) on that path.
         """
-        fea_left = self.extraction(left)
-        fea_right = self.extraction(right)
+        # Shared-weight siamese extraction via batch concat — one conv stack
+        # pass for both views (the batch-dim trick the reference uses in its
+        # matcher, unimatch/unimatch.py:68).
+        fea = self.extraction(jnp.concatenate([left, right], axis=0))
+        fea_left, fea_right = jnp.split(fea, 2, axis=0)
 
         if inference and use_pallas:
             from color_transfer_tpu.ops.row_attention import fused_parallax_inference

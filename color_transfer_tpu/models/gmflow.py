@@ -361,28 +361,34 @@ def _shift2d(x, dy, dx):
 def local_correlation_softmax(feature0, feature1, local_radius):
     """Windowed correlation softmax (reference matching.py:42-86).
 
-    Re-designed memory layout: the window offsets are integers, so the
-    (B, H*W, K^2, C) gathered window tensor the reference builds via
-    grid_sample (>2 GB at the 1080p matcher cap) is replaced by K^2
-    zero-padded shifts, each fused by XLA into one elementwise-dot pass.
+    Re-designed memory/compile layout: the window offsets are integers, so
+    the (B, H*W, K^2, C) gathered window tensor the reference builds via
+    grid_sample (>2 GB at the 1080p matcher cap) is replaced by a
+    ``lax.scan`` over K^2 zero-padded dynamic-slice shifts — O(B*H*W*C) live
+    memory and a K^2-times smaller HLO than an unrolled loop.
     """
     b, h, w, c = feature0.shape
     coords = coords_grid(h, w)  # (H, W, 2)
     offsets = _window_offsets(local_radius)  # (K2, 2)
+    r = local_radius
 
-    corrs = []
-    valids = []
-    for k in range(offsets.shape[0]):
-        dx = int(offsets[k, 0])
-        dy = int(offsets[k, 1])
-        shifted = _shift2d(feature1, dy, dx)
-        corrs.append(jnp.einsum("bhwc,bhwc->bhw", feature0, shifted))
-        x_pos = coords[..., 0] + dx
-        y_pos = coords[..., 1] + dy
-        valids.append((x_pos >= 0) & (x_pos < w) & (y_pos >= 0) & (y_pos < h))
+    padded1 = jnp.pad(feature1, ((0, 0), (r, r), (r, r), (0, 0)))
 
-    corr = jnp.stack(corrs, axis=-1) / math.sqrt(c)  # (B, H, W, K2)
-    valid = jnp.stack(valids, axis=-1)  # (H, W, K2)
+    def body(_, offset):
+        dx = offset[0].astype(jnp.int32)
+        dy = offset[1].astype(jnp.int32)
+        shifted = jax.lax.dynamic_slice(
+            padded1, (0, r + dy, r + dx, 0), (b, h, w, c)
+        )
+        corr = jnp.einsum("bhwc,bhwc->bhw", feature0, shifted)
+        x_pos = coords[..., 0] + offset[0]
+        y_pos = coords[..., 1] + offset[1]
+        valid = (x_pos >= 0) & (x_pos < w) & (y_pos >= 0) & (y_pos < h)
+        return None, (corr, valid)
+
+    _, (corr, valid) = jax.lax.scan(body, None, offsets)
+    corr = jnp.moveaxis(corr, 0, -1) / math.sqrt(c)  # (B, H, W, K2)
+    valid = jnp.moveaxis(valid, 0, -1)  # (H, W, K2)
     corr = jnp.where(valid, corr, -1e9)
     prob = jax.nn.softmax(corr, axis=-1)
 
@@ -393,19 +399,21 @@ def local_correlation_softmax(feature0, feature1, local_radius):
 
 def local_correlation_with_flow(feature0, feature1, flow, local_radius):
     """Windowed correlation at flow-displaced positions, no softmax — feeds
-    the GRU refiner (reference matching.py:89-126). One bilinear gather per
-    window offset keeps peak memory at O(B*H*W*C) instead of O(B*H*W*K^2*C).
+    the GRU refiner (reference matching.py:89-126). A scan with one bilinear
+    gather per window offset keeps peak memory at O(B*H*W*C) instead of
+    O(B*H*W*K^2*C) and the HLO small across the 6 refinement iterations.
     """
     b, h, w, c = feature0.shape
     coords = coords_grid(h, w)
     offsets = _window_offsets(local_radius)
     base = coords[None] + flow  # (B, H, W, 2)
 
-    corrs = []
-    for k in range(offsets.shape[0]):
-        sampled = jax.vmap(grid_sample)(feature1, base + offsets[k])
-        corrs.append(jnp.einsum("bhwc,bhwc->bhw", feature0, sampled))
-    return jnp.stack(corrs, axis=-1) / math.sqrt(c)  # (B, H, W, K2)
+    def body(_, offset):
+        sampled = jax.vmap(grid_sample)(feature1, base + offset)
+        return None, jnp.einsum("bhwc,bhwc->bhw", feature0, sampled)
+
+    _, corr = jax.lax.scan(body, None, offsets)
+    return jnp.moveaxis(corr, 0, -1) / math.sqrt(c)  # (B, H, W, K2)
 
 
 # ---------------------------------------------------------------------------
