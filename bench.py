@@ -52,6 +52,28 @@ def bench_classical(name, batch=8, iters=16):
     return batch / dt
 
 
+def bench_dcmcs3di(iters=4):
+    """Full-size DCMCS3DI 1080p inference through the fused Pallas matcher
+    (the reference cannot run full-res at all — demo.ipynb cell 24)."""
+    from color_transfer_tpu.models.dcmcs3di import DCMCS3DI
+
+    model = DCMCS3DI()
+    left = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
+    right = jnp.clip(left * 0.95 + 0.01, 0, 1)
+    params = model.init(jax.random.PRNGKey(0), left[:, :32, :64], right[:, :32, :64])
+    fwd = jax.jit(
+        lambda p, l, r: model.apply(p, l, r, inference=True, use_pallas=True)[0]
+    )
+    out = fwd(params, left, right)
+    assert np.isfinite(float(out.mean()))
+    acc = left
+    start = time.perf_counter()
+    for _ in range(iters):
+        acc = fwd(params, acc, right)
+    assert np.isfinite(float(acc.mean()))
+    return 1.0 / ((time.perf_counter() - start) / iters)
+
+
 def main():
     results = {}
     for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
@@ -65,6 +87,14 @@ def main():
         print(f"[bench] idt: {results['idt']:.1f} 1080p frames/sec", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] idt failed: {e}", file=sys.stderr)
+    try:
+        results["dcmcs3di"] = bench_dcmcs3di()
+        print(
+            f"[bench] dcmcs3di full-res: {results['dcmcs3di']:.2f} 1080p frames/sec",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] dcmcs3di failed: {e}", file=sys.stderr)
 
     headline = results.get("monge_kantorovitch", 0.0)
     print(

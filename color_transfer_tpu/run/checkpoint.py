@@ -55,6 +55,9 @@ class CheckpointManager:
 
             shutil.rmtree(path)
         self._ckpt.save(path / "state", state)
+        # StandardCheckpointer commits asynchronously; barrier before any
+        # subsequent overwrite of the same directory.
+        self._ckpt.wait_until_finished()
         meta = {"step": step, "hparams": hparams or {}}
         (path / "meta.json").parent.mkdir(parents=True, exist_ok=True)
         (path / "meta.json").write_text(json.dumps(meta))

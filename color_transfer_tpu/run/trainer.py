@@ -72,7 +72,14 @@ class Trainer:
         if resume is not None:
             from color_transfer_tpu.run.checkpoint import load_checkpoint
 
-            state, meta = load_checkpoint(resume, target=state)
+            restored, meta = load_checkpoint(
+                resume, target={"params": state.params, "opt_state": state.opt_state}
+            )
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=int(meta.get("step") or 0),
+            )
 
         params_sharding = replicated_sharding(self.mesh)
         state = jax.device_put(state, params_sharding)
