@@ -13,6 +13,7 @@ reference's flow channel order (reference unimatch/geometry.py:9-17 stacks
 [x, y]).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -35,10 +36,40 @@ def grid_sample(img, coords, padding_mode="zeros"):
 
     Returns:
       (..., C) sampled values. Gradients flow through both img and coords.
+
+    The zeros-padding path fetches each sample's 2x2 neighbourhood with a
+    single patch gather (contiguous slices amortize TPU gather's random
+    access — ~2x over four corner gathers); far out-of-bounds positions are
+    clamped into an all-zeros padding band, which is value-identical.
     """
     h, w = img.shape[0], img.shape[1]
     x = coords[..., 0]
     y = coords[..., 1]
+
+    if padding_mode == "zeros":
+        pad = 2
+        x = jnp.clip(x, -1.5, w + 0.5)
+        y = jnp.clip(y, -1.5, h + 0.5)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0)[..., None].astype(img.dtype)
+        wy = (y - y0)[..., None].astype(img.dtype)
+
+        imgp = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+        lead_shape = x.shape
+        starts = jnp.stack(
+            [y0.astype(jnp.int32) + pad, x0.astype(jnp.int32) + pad], axis=-1
+        ).reshape(-1, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        patches = jax.lax.gather(
+            imgp, starts, dn, slice_sizes=(2, 2, img.shape[-1]),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        ).reshape(lead_shape + (2, 2, img.shape[-1]))
+        top = patches[..., 0, 0, :] * (1 - wx) + patches[..., 0, 1, :] * wx
+        bot = patches[..., 1, 0, :] * (1 - wx) + patches[..., 1, 1, :] * wx
+        return top * (1 - wy) + bot * wy
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -53,11 +84,7 @@ def grid_sample(img, coords, padding_mode="zeros"):
     def gather(yi, xi):
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
-        vals = img[yc, xc]  # advanced indexing -> gather
-        if padding_mode == "zeros":
-            valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
-            vals = vals * valid[..., None].astype(img.dtype)
-        return vals
+        return img[yc, xc]  # advanced indexing -> gather
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x1i)
