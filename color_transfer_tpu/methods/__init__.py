@@ -56,10 +56,17 @@ register("iterative_distribution_transfer", iterative.iterative_distribution_tra
 
 register("automated_color_grading", iterative.automated_color_grading)
 
+def color_transfer_between_videos(*args, **kwargs):
+    from color_transfer_tpu.methods.video import color_transfer_between_videos as fn
+
+    return fn(*args, **kwargs)
+
+
 __all__ = [
     "register",
     "get_method",
     "available_methods",
+    "color_transfer_between_videos",
     "linear",
     "iterative",
 ]
