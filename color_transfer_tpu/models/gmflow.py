@@ -734,7 +734,27 @@ class GMFlow(nn.Module):
         """img0/img1: (B, H, W, 3) in [0, 255]. Returns dict with 'flow'
         (B, H, W, 2) and, when requested, 'flow_bwd', 'fwd_occ', 'bwd_occ'.
         ``inference_size`` (static) overrides the module default; None means
-        round up to the next x32 (reference unimatch/__init__.py:96-100)."""
+        round up to the next x32 (reference unimatch/__init__.py:96-100).
+
+        Portrait inputs (H > W) are transposed through the matcher — the
+        pretrained model was trained width > height (reference
+        unimatch/__init__.py:91-94); the flow components swap back after.
+        """
+        if img0.shape[1] > img0.shape[2]:
+            out = self(
+                jnp.swapaxes(img0, 1, 2),
+                jnp.swapaxes(img1, 1, 2),
+                pred_bidir_flow=pred_bidir_flow,
+                fwd_bwd_consistency_check=fwd_bwd_consistency_check,
+                inference_size=inference_size,
+            )
+            def untranspose(v):
+                v = jnp.swapaxes(v, 1, 2)
+                if v.shape[-1] == 2:  # flow: swap (dx, dy) back
+                    v = v[..., ::-1]
+                return v
+            return {k: untranspose(v) for k, v in out.items()}
+
         b, orig_h, orig_w, _ = img0.shape
 
         inference_size = inference_size or self.inference_size

@@ -76,10 +76,17 @@ def main(argv=None):
                 sample["target"] = sample["gt"]
             break
         state = module.init_state(jax.random.PRNGKey(0), sample)
-        restored, _ = load_checkpoint(
-            args.ckpt_path, target={"params": state.params, "opt_state": state.opt_state}
-        )
-        params = restored["params"]
+        target = {"params": state.params, "opt_state": state.opt_state}
+        if getattr(state, "batch_stats", None):
+            target["batch_stats"] = state.batch_stats
+        restored, _ = load_checkpoint(args.ckpt_path, target=target)
+        if "batch_stats" in restored:
+            params = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+        else:
+            params = restored["params"]
 
     if args.subcommand == "validate":
         raise SystemExit("validate requires fit state; use fit or test")

@@ -72,14 +72,18 @@ class Trainer:
         if resume is not None:
             from color_transfer_tpu.run.checkpoint import load_checkpoint
 
-            restored, meta = load_checkpoint(
-                resume, target={"params": state.params, "opt_state": state.opt_state}
-            )
-            state = state.replace(
-                params=restored["params"],
-                opt_state=restored["opt_state"],
-                step=int(meta.get("step") or 0),
-            )
+            target = {"params": state.params, "opt_state": state.opt_state}
+            if getattr(state, "batch_stats", None):
+                target["batch_stats"] = state.batch_stats
+            restored, meta = load_checkpoint(resume, target=target)
+            replacements = {
+                "params": restored["params"],
+                "opt_state": restored["opt_state"],
+                "step": int(meta.get("step") or 0),
+            }
+            if "batch_stats" in restored:
+                replacements["batch_stats"] = restored["batch_stats"]
+            state = state.replace(**replacements)
 
         params_sharding = replicated_sharding(self.mesh)
         state = jax.device_put(state, params_sharding)
@@ -143,17 +147,13 @@ class Trainer:
 
             if (epoch + 1) % self.val_every == 0:
                 val_metrics = self.validate(module, datamodule, state, step)
-                self.ckpt.save_last(
-                    {"params": state.params, "opt_state": state.opt_state},
-                    hparams=module.hparams,
-                    step=step,
-                )
+                payload = {"params": state.params, "opt_state": state.opt_state}
+                if getattr(state, "batch_stats", None):
+                    payload["batch_stats"] = state.batch_stats
+                self.ckpt.save_last(payload, hparams=module.hparams, step=step)
                 if self.ckpt.monitor in val_metrics:
                     self.ckpt.save_best(
-                        {"params": state.params, "opt_state": state.opt_state},
-                        val_metrics,
-                        hparams=module.hparams,
-                        step=step,
+                        payload, val_metrics, hparams=module.hparams, step=step
                     )
         return state
 
