@@ -14,6 +14,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import jax.profiler
 
 from color_transfer_tpu.data import distortions
 from color_transfer_tpu.parallel import create_mesh, shard_batch, replicated_sharding
@@ -99,13 +100,9 @@ class Trainer:
                 last_batch = batch
                 key = jax.random.fold_in(rng, step)
                 if self.profile_dir is not None and step == self.profile_steps[0]:
-                    import jax.profiler
-
                     jax.profiler.start_trace(str(self.profile_dir))
                 state, logs = module.train_step(state, batch, key)
                 if self.profile_dir is not None and step == self.profile_steps[1]:
-                    import jax.profiler
-
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), logs
                     )
