@@ -74,6 +74,30 @@ def bench_dcmcs3di(iters=4):
     return 1.0 / ((time.perf_counter() - start) / iters)
 
 
+def bench_dmsct(iters=6):
+    """DMSCT 1080p inference (matcher capped at 512x896 per the reference's
+    resolution policy, corrector at full res)."""
+    from color_transfer_tpu.models.dmsct import DMSCT
+
+    model = DMSCT()
+    t = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
+    r = jnp.clip(t * 0.95 + 0.01, 0, 1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        t[:, :64, :64],
+        r[:, :64, :64],
+    )
+    fwd = jax.jit(lambda v, a, b: model.apply(v, a, b))
+    out = fwd(params, t, r)
+    assert np.isfinite(float(out.mean()))
+    acc = t
+    start = time.perf_counter()
+    for _ in range(iters):
+        acc = fwd(params, acc, r)
+    assert np.isfinite(float(acc.mean()))
+    return 1.0 / ((time.perf_counter() - start) / iters)
+
+
 def main():
     results = {}
     for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
@@ -95,6 +119,14 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dcmcs3di failed: {e}", file=sys.stderr)
+    try:
+        results["dmsct"] = bench_dmsct()
+        print(
+            f"[bench] dmsct full-res: {results['dmsct']:.2f} 1080p frames/sec",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] dmsct failed: {e}", file=sys.stderr)
 
     headline = results.get("monge_kantorovitch", 0.0)
     print(

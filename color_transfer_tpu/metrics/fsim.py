@@ -140,7 +140,7 @@ def phase_congruency(
 
     energy = jnp.maximum(energy - t[:, :, None, None], 0.0)
 
-    return energy.sum(axis=1) / (sum_an.sum(axis=1))  # [N, H, W]
+    return energy.sum(axis=1) / (sum_an.sum(axis=1) + eps)  # [N, H, W]
 
 
 def _scharr_grad(x):
