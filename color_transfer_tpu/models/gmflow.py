@@ -432,19 +432,29 @@ def local_correlation_with_flow(feature0, feature1, flow, local_radius):
         axis=-1,
     ).reshape(b, h * w, 2)
 
-    def gather_patches(img, idx):
+    def gather_row(img, idx):
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
         )
         return jax.lax.gather(
-            img, idx, dn, slice_sizes=(k, k, c),
+            img, idx, dn, slice_sizes=(1, k, c),
             mode=jax.lax.GatherScatterMode.CLIP,
-        )
+        )[:, 0]  # (HW, k, C)
 
-    patches = jax.vmap(gather_patches)(f1p, starts)  # (B, HW, k, k, C)
-    dots = jnp.einsum(
-        "bpijc,bpc->bpij", patches, feature0.reshape(b, h * w, c)
-    )  # (B, HW, k, k)
+    f0_flat = feature0.reshape(b, h * w, c)
+
+    def window_row(_, i):
+        # Scan over the k window rows: bounds the gathered buffer to
+        # O(B*H*W*k*C) instead of O(B*H*W*k^2*C) (the full-patch variant
+        # OOMs at training batch sizes).
+        row_starts = starts + jnp.stack(
+            [jnp.full((), i, jnp.int32), jnp.zeros((), jnp.int32)]
+        )
+        rows = jax.vmap(gather_row)(f1p, row_starts)  # (B, HW, k, C)
+        return None, jnp.einsum("bpjc,bpc->bpj", rows, f0_flat)
+
+    _, dots = jax.lax.scan(window_row, None, jnp.arange(k, dtype=jnp.int32))
+    dots = jnp.moveaxis(dots, 0, 2)  # (B, HW, k, k)
 
     d00 = dots[:, :, :-1, :-1]
     d01 = dots[:, :, :-1, 1:]
