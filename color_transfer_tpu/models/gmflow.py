@@ -240,13 +240,36 @@ class TransformerLayer(nn.Module):
     ffn_dim_expansion: int = 4
 
     @nn.compact
-    def __call__(self, source, target, h, w, with_shift, attn_num_splits):
+    def __call__(self, source, target, h, w, with_shift, attn_num_splits,
+                 attn_type="swin", is_self=True):
         init = nn.initializers.xavier_uniform()
         q = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="q_proj")(source)
         k = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="k_proj")(target)
         v = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="v_proj")(target)
 
-        message = swin_attention(q, k, v, attn_num_splits, with_shift, h, w)
+        # attn_type routing mirrors reference unimatch/transformer.py:65-138:
+        # 'swin' (the flow config) uses 2D shifted windows for both self and
+        # cross attention; the stereo variants use 1D cross attention.
+        if attn_type == "swin" or is_self:
+            message = swin_attention(q, k, v, attn_num_splits, with_shift, h, w)
+        elif attn_type == "self_swin2d_cross_1d":
+            from color_transfer_tpu.models.gmflow_extras import full_attention_1d
+
+            message = full_attention_1d(q, k, v, h, w)
+        elif attn_type == "self_swin2d_cross_swin1d":
+            from color_transfer_tpu.models.gmflow_extras import (
+                full_attention_1d,
+                swin_attention_1d,
+            )
+
+            if attn_num_splits > 1:
+                message = swin_attention_1d(
+                    q, k, v, attn_num_splits, with_shift, h, w
+                )
+            else:
+                message = full_attention_1d(q, k, v, h, w)
+        else:
+            raise ValueError(f"unknown attn_type {attn_type!r}")
         message = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="merge")(message)
         message = nn.LayerNorm(name="norm1")(message)
 
@@ -268,15 +291,16 @@ class TransformerBlock(nn.Module):
     ffn_dim_expansion: int = 4
 
     @nn.compact
-    def __call__(self, source, target, h, w, with_shift, attn_num_splits):
+    def __call__(self, source, target, h, w, with_shift, attn_num_splits,
+                 attn_type="swin"):
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
             name="self_attn",
-        )(source, source, h, w, with_shift, attn_num_splits)
+        )(source, source, h, w, with_shift, attn_num_splits, attn_type, True)
         source = TransformerLayer(
             self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
             name="cross_attn_ffn",
-        )(source, target, h, w, with_shift, attn_num_splits)
+        )(source, target, h, w, with_shift, attn_num_splits, attn_type, False)
         return source
 
 
@@ -286,7 +310,7 @@ class FeatureTransformer(nn.Module):
     ffn_dim_expansion: int = 4
 
     @nn.compact
-    def __call__(self, feature0, feature1, attn_num_splits):
+    def __call__(self, feature0, feature1, attn_num_splits, attn_type="swin"):
         b, h, w, c = feature0.shape
         concat0 = jnp.concatenate(
             [feature0.reshape(b, h * w, c), feature1.reshape(b, h * w, c)], axis=0
@@ -304,6 +328,7 @@ class FeatureTransformer(nn.Module):
                 w,
                 with_shift=attn_num_splits > 1 and i % 2 == 1,
                 attn_num_splits=attn_num_splits,
+                attn_type=attn_type,
             )
             half0, half1 = jnp.split(concat0, 2, axis=0)
             concat1 = jnp.concatenate([half1, half0], axis=0)

@@ -69,3 +69,17 @@ class TestStereoMatching:
         )
         inner = np.asarray(disp)[:, :, d + 4 : -4]
         np.testing.assert_allclose(inner, d, atol=0.2)
+
+
+class TestAttnTypeRouting:
+    def test_transformer_stereo_attn_types(self, rng):
+        import jax
+        from color_transfer_tpu.models.gmflow import FeatureTransformer
+
+        tr = FeatureTransformer(num_layers=1, d_model=32)
+        f0 = jnp.asarray(rng.normal(size=(1, 8, 16, 32)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(1, 8, 16, 32)).astype(np.float32))
+        variables = tr.init(jax.random.PRNGKey(0), f0, f1, 2)
+        for attn_type in ["swin", "self_swin2d_cross_1d", "self_swin2d_cross_swin1d"]:
+            a, b = tr.apply(variables, f0, f1, 2, attn_type)
+            assert a.shape == f0.shape and np.isfinite(np.asarray(a)).all()
