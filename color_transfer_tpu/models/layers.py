@@ -71,14 +71,3 @@ class ResB(nn.Module):
         return x + y
 
 
-class InstanceNorm(nn.Module):
-    """InstanceNorm2d with torch defaults (affine=False, eps=1e-5), used by
-    the GMFlow CNN encoder (reference unimatch/backbone.py:10)."""
-
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        mean = x.mean(axis=(1, 2), keepdims=True)
-        var = x.var(axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
