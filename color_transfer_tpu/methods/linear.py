@@ -47,16 +47,22 @@ def reinhard(target, reference):
 
 
 def _sorted_eig_desc(c):
-    """Symmetric eigendecomposition sorted by descending eigenvalue with a
-    canonical sign (largest-|component| positive), replacing np.linalg.svd
-    of the symmetric covariance (reference methods/linear.py:69-70). The sign
-    canon pairs the target/reference principal axes consistently."""
+    """Symmetric eigendecomposition sorted by descending eigenvalue,
+    replacing np.linalg.svd of the symmetric covariance
+    (reference methods/linear.py:69-70)."""
     vals, vecs = jnp.linalg.eigh(c)
-    vals = vals[::-1]
-    vecs = vecs[:, ::-1]
-    idx = jnp.argmax(jnp.abs(vecs), axis=0)
-    signs = jnp.sign(vecs[idx, jnp.arange(3)])
-    return vals, vecs * signs
+    return vals[::-1], vecs[:, ::-1]
+
+
+def _align_axes(u_ref, u_target):
+    """Flip reference eigenvector signs to align each axis with its paired
+    target axis. Eigenvector signs are arbitrary (the reference implicitly
+    inherits LAPACK's, which breaks down on strong hue/saturation
+    distortions); aligning sign(<u_r_i, u_t_i>) makes the axis pairing
+    well-defined and matches/beats the numpy-SVD behaviour on the full
+    distortion grid (verified against a float64 numpy oracle)."""
+    signs = jnp.sign(jnp.sum(u_ref * u_target, axis=0))
+    return u_ref * jnp.where(signs == 0, 1.0, signs)
 
 
 def correlated_color_space(target, reference):
@@ -73,6 +79,7 @@ def correlated_color_space(target, reference):
     r_mean = jnp.mean(r, axis=0)
     s_t, u_t = _sorted_eig_desc(cov3(t))
     s_r, u_r = _sorted_eig_desc(cov3(r))
+    u_r = _align_axes(u_r, u_t)
 
     eps = 1e-12
     transform = (

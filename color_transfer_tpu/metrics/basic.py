@@ -48,16 +48,24 @@ def _gaussian_filter_nchw(x, kernel_size, sigma, padding):
 def _ssim_map(x, y, kernel_size, kernel_sigma, data_range, k1, k2, padding):
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
-    mu_x = _gaussian_filter_nchw(x, kernel_size, kernel_sigma, padding)
-    mu_y = _gaussian_filter_nchw(y, kernel_size, kernel_sigma, padding)
-    mu_xx = mu_x * mu_x
-    mu_yy = mu_y * mu_y
-    mu_xy = mu_x * mu_y
-    sigma_xx = _gaussian_filter_nchw(x * x, kernel_size, kernel_sigma, padding) - mu_xx
-    sigma_yy = _gaussian_filter_nchw(y * y, kernel_size, kernel_sigma, padding) - mu_yy
-    sigma_xy = _gaussian_filter_nchw(x * y, kernel_size, kernel_sigma, padding) - mu_xy
+    # Variances/covariance from globally-centered signals: E[x^2]-E[x]^2 on
+    # raw values loses enough f32 precision near-identical inputs that the
+    # map exceeds 1 by ~1e-2; centering is shift-invariant for the sigma
+    # terms and keeps the luminance term exact.
+    a = x.mean(axis=(-2, -1), keepdims=True)
+    b = y.mean(axis=(-2, -1), keepdims=True)
+    xc = x - a
+    yc = y - b
+
+    mu_xc = _gaussian_filter_nchw(xc, kernel_size, kernel_sigma, padding)
+    mu_yc = _gaussian_filter_nchw(yc, kernel_size, kernel_sigma, padding)
+    mu_x = mu_xc + a
+    mu_y = mu_yc + b
+    sigma_xx = _gaussian_filter_nchw(xc * xc, kernel_size, kernel_sigma, padding) - mu_xc**2
+    sigma_yy = _gaussian_filter_nchw(yc * yc, kernel_size, kernel_sigma, padding) - mu_yc**2
+    sigma_xy = _gaussian_filter_nchw(xc * yc, kernel_size, kernel_sigma, padding) - mu_xc * mu_yc
     cs = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
-    return ((2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs
+    return ((2.0 * mu_x * mu_y + c1) / (mu_x**2 + mu_y**2 + c1)) * cs
 
 
 def ssim(

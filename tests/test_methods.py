@@ -180,3 +180,57 @@ class TestRegistry:
             assert False
         except KeyError:
             pass
+
+
+class TestXiaoOracle:
+    def test_matches_float64_numpy_oracle_across_distortions(self, rng):
+        """The reference Xiao implementation is pure numpy (no skimage), so
+        an exact float64 oracle is available; check across the distortions
+        that exercise eigen-axis pairing (saturation/hue)."""
+        from color_transfer_tpu.data import distortions
+
+        base = rng.uniform(0.1, 0.9, (48, 64, 3)).astype(np.float32)
+        # Structured content so covariances are anisotropic.
+        gradient = np.linspace(0, 0.3, 64)[None, :, None]
+        gt = np.clip(base * 0.7 + gradient, 0, 1).astype(np.float32)
+        ref = np.clip(np.roll(gt, 5, axis=1) * 0.95 + 0.02, 0, 1).astype(np.float32)
+
+        def oracle(target, reference):
+            t = target.reshape(-1, 3).astype(np.float64)
+            r = reference.reshape(-1, 3).astype(np.float64)
+            tm, rm = t.mean(0), r.mean(0)
+            tu, ts, _ = np.linalg.svd(np.cov(t.T))
+            ru, rs, _ = np.linalg.svd(np.cov(r.T))
+            T = tu @ np.diag(1 / np.sqrt(ts)) @ np.diag(np.sqrt(rs)) @ np.linalg.inv(ru)
+            return ((t - tm) @ T.T + rm).reshape(target.shape)
+
+        for fn in [
+            lambda x: x,
+            lambda x: distortions.adjust_saturation(x, 1.3),
+            lambda x: distortions.adjust_hue(x, 0.1),
+            lambda x: distortions.adjust_gamma(x, 1.3),
+        ]:
+            target = np.asarray(fn(jnp.asarray(gt)))
+            mine = np.asarray(
+                methods.linear.correlated_color_space(
+                    jnp.asarray(target), jnp.asarray(ref)
+                )
+            )
+            want = oracle(target, np.asarray(ref))
+            # Sign conventions may differ only when they don't matter; the
+            # outputs must agree.
+            assert np.abs(mine - want).max() < 5e-3
+
+
+class TestSSIMBound:
+    def test_ssim_never_exceeds_one(self, rng):
+        from color_transfer_tpu import metrics as M
+
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+        # Near-identical smooth pair — the worst case for f32 cancellation.
+        from color_transfer_tpu.core.blur import gaussian_blur
+
+        xs = gaussian_blur(x, 11, 3.0, channel_last=True)
+        ys = jnp.clip(xs + 1e-4, 0, 1)
+        val = float(M.ssim(xs, ys))
+        assert val <= 1.0 + 1e-5
