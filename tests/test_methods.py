@@ -234,3 +234,37 @@ class TestSSIMBound:
         ys = jnp.clip(xs + 1e-4, 0, 1)
         val = float(M.ssim(xs, ys))
         assert val <= 1.0 + 1e-5
+
+
+class TestMKOracle:
+    def test_matches_float64_scipy_oracle(self, rng):
+        """The reference MK implementation is pure numpy/scipy — compare the
+        full method against an exact float64 oracle on distorted pairs."""
+        import scipy.linalg
+        from color_transfer_tpu.data import distortions
+
+        base = rng.uniform(0.1, 0.9, (48, 64, 3)).astype(np.float32)
+        gradient = np.linspace(0, 0.3, 64)[None, :, None]
+        gt = np.clip(base * 0.7 + gradient, 0, 1).astype(np.float32)
+        ref = np.clip(np.roll(gt, 5, axis=1) * 0.95 + 0.02, 0, 1).astype(np.float32)
+
+        def oracle(target, reference):
+            t = target.reshape(-1, 3).astype(np.float64)
+            r = reference.reshape(-1, 3).astype(np.float64)
+            tm, rm = t.mean(0), r.mean(0)
+            tc, rc = np.cov(t.T), np.cov(r.T)
+            a = scipy.linalg.sqrtm(tc)
+            T = np.linalg.inv(a) @ scipy.linalg.sqrtm(a @ rc @ a) @ np.linalg.inv(a)
+            return ((t - tm) @ T + rm).reshape(target.shape)
+
+        for fn in [
+            lambda x: x,
+            lambda x: distortions.adjust_hue(x, 0.2),
+            lambda x: distortions.adjust_contrast(x, 0.6),
+        ]:
+            target = np.asarray(fn(jnp.asarray(gt)))
+            mine = np.asarray(
+                methods.linear.monge_kantorovitch(jnp.asarray(target), jnp.asarray(ref))
+            )
+            want = oracle(target, np.asarray(ref))
+            assert np.abs(mine - want).max() < 2e-3
