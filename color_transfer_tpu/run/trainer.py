@@ -127,7 +127,7 @@ class Trainer:
                     panel_batch = dict(last_batch)
                     if "target" not in panel_batch:
                         panel_batch = module.synthesize_targets(
-                            panel_batch, jax.random.fold_in(rng, -1)
+                            panel_batch, jax.random.fold_in(rng, 2**31)
                         )
                     panels = module.image_panels(state, panel_batch)
                     self.logger.log_image(
@@ -137,6 +137,11 @@ class Trainer:
                         step=step,
                     )
                 except Exception as e:  # noqa: BLE001 — viz must not kill a run
+                    import traceback
+
+                    (self.log_dir / "image_log_error.txt").write_text(
+                        traceback.format_exc()
+                    )
                     self.logger.log({"image_log_error": 1.0}, step=step)
 
             epoch_time = time.time() - t0
