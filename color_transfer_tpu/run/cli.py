@@ -89,7 +89,30 @@ def main(argv=None):
             params = restored["params"]
 
     if args.subcommand == "validate":
-        raise SystemExit("validate requires fit state; use fit or test")
+        # Run the validation loaders against a restored (or fresh) state.
+        import jax as _jax
+
+        sample_loader = datamodule.val_loaders()[0]
+        from color_transfer_tpu.run.datamodule import to_float
+        import jax.numpy as _jnp
+
+        batch = to_float(next(iter(sample_loader)))
+        sample = {k: _jnp.asarray(v) for k, v in batch.items()}
+        if "target" not in sample:
+            sample["target"] = sample["gt"]
+        state = module.init_state(_jax.random.PRNGKey(0), sample)
+        if params is not None:
+            if isinstance(params, dict) and "params" in params:
+                state = state.replace(
+                    params=params["params"], batch_stats=params["batch_stats"]
+                )
+            else:
+                state = state.replace(params=params)
+        results = trainer.validate(
+            module, datamodule, state, step=0, max_batches=args.max_batches
+        )
+        print(json.dumps(results, indent=2))
+        return 0
 
     results = trainer.test(module, datamodule, params=params, max_batches=args.max_batches)
     print(json.dumps(results, indent=2))

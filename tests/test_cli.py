@@ -105,3 +105,11 @@ class TestCLI:
         out = capsys.readouterr().out
         results = json.loads(out[out.index("{"):])
         assert results["Test PSNR/dataloader_idx_0"] > 15
+
+    def test_validate_subcommand(self, tmp_path, capsys):
+        data_root = _make_data(tmp_path)
+        cfg = _config(tmp_path, data_root)
+        assert main(["validate", "--config", str(cfg), "--max_batches", "1"]) == 0
+        out = capsys.readouterr().out
+        results = json.loads(out[out.index("{"):])
+        assert any(k.startswith("Validation PSNR") for k in results)
