@@ -106,11 +106,15 @@ def main():
             print(f"[bench] {name}: {results[name]:.1f} 1080p frames/sec", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {name} failed: {e}", file=sys.stderr)
-    try:
-        results["idt"] = bench_classical("idt", batch=4, iters=5)
-        print(f"[bench] idt: {results['idt']:.1f} 1080p frames/sec", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] idt failed: {e}", file=sys.stderr)
+    for name, batch in [("idt", 4), ("automated_color_grading", 4)]:
+        try:
+            results[name] = bench_classical(name, batch=batch, iters=5)
+            print(
+                f"[bench] {name}: {results[name]:.1f} 1080p frames/sec",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
     try:
         results["dcmcs3di"] = bench_dcmcs3di()
         print(
