@@ -49,17 +49,20 @@ def _resb_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     i = pl.program_id(0)
 
     def conv(src_f32, w_ref, rows_out):
-        """Σ_dy,dx dot(shift(src)) — lane-rotated column shifts keep every
-        matmul (rows_out*Wp, C) @ (C, C) fully aligned. Mosaic only rotates
-        32-bit lanes, so rolls happen in f32 with a bf16 cast at the dot."""
-        acc = jnp.zeros((rows_out * wp, w_ref.shape[-1]), jnp.float32)
+        """Σ_dy,dx dot(shift(src)) — 9 accumulated (rows_out*Wp, C) @ (C, C)
+        matmuls. Lane-rotated column shifts keep every operand 128-aligned;
+        Mosaic only rotates 32-bit lanes, so rolls happen in f32 with a bf16
+        cast at the dot. (An im2col K=9C variant was measured SLOWER — the
+        VMEM concat relayout costs more than the extra MXU depth buys.)"""
+        w_flat = w_ref[...]  # (9C, C), dx-major dy-minor blocks
+        acc = jnp.zeros((rows_out * wp, w_flat.shape[-1]), jnp.float32)
         for dx in range(3):
             rolled = pltpu.roll(src_f32, (1 - dx) % wp, 1).astype(jnp.bfloat16)
             for dy in range(3):
                 shifted = rolled[dy : dy + rows_out]
                 acc = acc + jax.lax.dot(
                     shifted.reshape(rows_out * wp, c),
-                    w_ref[dy, dx],
+                    w_flat[(dx * 3 + dy) * c : (dx * 3 + dy + 1) * c],
                     preferred_element_type=jnp.float32,
                 )
         return acc
@@ -137,9 +140,19 @@ def resb_apply(x, w1, b1, w2, b2, negative_slope=0.01, interpret=False):
         interpret=interpret,
     )(
         blocks,
-        w1.astype(jnp.bfloat16),
+        _flatten_w(w1),
         b1.astype(jnp.float32).reshape(1, -1),
-        w2.astype(jnp.bfloat16),
+        _flatten_w(w2),
         b2.astype(jnp.float32).reshape(1, -1),
     )
     return out.reshape(b, hp, wp, c)[:, :h, 2 : 2 + w]
+
+
+def _flatten_w(w):
+    """(3, 3, C, Co)[dy, dx] -> (9C, Co) in the kernel's im2col order
+    (dx-major, dy-minor)."""
+    return (
+        jnp.transpose(w, (1, 0, 2, 3))
+        .reshape(-1, w.shape[-1])
+        .astype(jnp.bfloat16)
+    )
