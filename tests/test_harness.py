@@ -134,3 +134,15 @@ class TestTestSweep:
         assert "Test PSNR/dataloader_idx_1" in results
         assert results["Test PSNR/dataloader_idx_0"] > 15
         assert 0 <= results["Test iCID/dataloader_idx_0"] <= 1
+
+
+class TestMetricLogger:
+    def test_log_image_writes_pngs(self, tmp_path, rng):
+        from color_transfer_tpu.run.logging import MetricLogger
+
+        logger = MetricLogger(tmp_path / "logs")
+        imgs = [rng.uniform(0, 1, (8, 10, 3)).astype(np.float32) for _ in range(2)]
+        logger.log_image("Panel/Test", imgs, caption=["a", "b"], step=3)
+        files = sorted((tmp_path / "logs" / "images").glob("*.png"))
+        assert len(files) == 2
+        logger.close()
