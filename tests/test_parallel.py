@@ -65,3 +65,42 @@ class TestMesh:
             jax.tree_util.tree_leaves(new_b.params),
         ):
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-6)
+
+
+class TestDMSCTDataParallel:
+    def test_dmsct_train_step_sharded_matches_local(self, rng):
+        """BatchNorm statistics and the frozen matcher must behave
+        identically under batch sharding (global-batch BN via XLA
+        collectives)."""
+        from color_transfer_tpu.run.modules import DMSCTModule
+
+        module = DMSCTModule(
+            heavy_metrics=False, matcher_num_layers=1, matcher_num_reg_refine=1
+        )
+        gt = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32))
+        batch = {"gt": gt, "reference": jnp.clip(gt * 0.9 + 0.03, 0, 1)}
+        key = jax.random.PRNGKey(1)
+
+        state_a = module.init_state(jax.random.PRNGKey(0), {**batch, "target": gt})
+        state_b = module.init_state(jax.random.PRNGKey(0), {**batch, "target": gt})
+
+        mesh = create_mesh()
+        state_b = jax.device_put(state_b, replicated_sharding(mesh))
+        sharded = shard_batch(batch, mesh)
+
+        new_a, logs_a = module.train_step(state_a, dict(batch), key)
+        new_b, logs_b = module.train_step(state_b, sharded, key)
+
+        assert (
+            abs(
+                float(logs_a["Training Total Loss"])
+                - float(logs_b["Training Total Loss"])
+            )
+            < 1e-5
+        )
+        # BN stats identical (global-batch semantics preserved).
+        for sa, sb in zip(
+            jax.tree_util.tree_leaves(new_a.batch_stats),
+            jax.tree_util.tree_leaves(new_b.batch_stats),
+        ):
+            np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-6)
