@@ -13,6 +13,8 @@ All functions take arrays whose last axis is the channel axis (size 3) and
 operate in float32 by default. Inputs are in [0, 1] unless noted.
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -23,20 +25,22 @@ def _matmul3(x, m):
     precision."""
     return jnp.matmul(x, m.T, precision=lax.Precision.HIGHEST)
 
-# skimage's xyz_from_rgb matrix (CIE RGB->XYZ under D65).
-_RGB_TO_XYZ = jnp.array(
+# skimage's xyz_from_rgb matrix (CIE RGB->XYZ under D65). Constants stay
+# host-side numpy — module import must not initialize a JAX backend (XLA
+# folds them at trace time anyway).
+_RGB_TO_XYZ = np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],
         [0.019334, 0.119193, 0.950227],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
-_XYZ_TO_RGB = jnp.linalg.inv(_RGB_TO_XYZ)
+_XYZ_TO_RGB = np.linalg.inv(_RGB_TO_XYZ)
 
 # D65 / 2deg observer reference white, as used by skimage and kornia.
-_D65_WHITE = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
+_D65_WHITE = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
 
 _LAB_DELTA = 6.0 / 29.0  # cube root of 0.008856...
 _LAB_T0 = _LAB_DELTA**3  # 0.008856 threshold
@@ -142,13 +146,13 @@ def rgb_to_grayscale(rgb, keepdims=False):
     return gray
 
 
-_RGB_TO_YIQ = jnp.array(
+_RGB_TO_YIQ = np.array(
     [
         [0.299, 0.587, 0.114],
         [0.5959, -0.2746, -0.3213],
         [0.2115, -0.5227, 0.3112],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -34,7 +34,7 @@ def _read_image(path):
 
 
 class ArtificialTrainValDataset:
-    def __init__(self, image_dir, crop_size, image_repeats=1):
+    def __init__(self, image_dir, crop_size, image_repeats=1, seed=0):
         image_dir = Path(image_dir)
         self.gts = sorted(image_dir.glob("*_L.*"))
         self.references = sorted(image_dir.glob("*_R.*"))
@@ -44,14 +44,23 @@ class ArtificialTrainValDataset:
         assert self.gts, f"no *_L.* images in {image_dir}"
         self.crop_size = tuple(crop_size)
         self.image_repeats = image_repeats
+        self.seed = seed
+        self._epoch = 0
         self._info_cache = {}
 
     def __len__(self):
         return len(self.gts) * self.image_repeats
 
+    def set_epoch(self, epoch):
+        """Advance the augmentation stream; called by the Loader each epoch."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, index):
+        # Deterministic per-(seed, epoch, item) stream — NOT Python hash(),
+        # which is salted per process and would break `seed_everything`
+        # reproducibility (reference configs/dcmcs3di.yaml:1).
         rng = np.random.default_rng(
-            np.random.SeedSequence(entropy=abs(hash(("item", index))))
+            np.random.SeedSequence(entropy=(self.seed, self._epoch, index))
         )
         return self.sample(index, rng)
 
@@ -157,6 +166,8 @@ class Loader:
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self._epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:

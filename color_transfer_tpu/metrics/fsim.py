@@ -165,12 +165,18 @@ def _sim(a, b, t):
     return (2.0 * a * b + t) / (a**2 + b**2 + t)
 
 
-def fsim(x, y, data_range=1.0, chromatic=True):
+def fsim(x, y, data_range=1.0, chromatic=True, valid_hw=None):
     """FSIM / FSIMc over channel-last (B, H, W, 3) batches in [0, data_range].
 
     Matches the MATLAB reference protocol piq follows: 0..255 scaling, YIQ
     luminance, f-fold average pooling, T1=0.85, T2=160, T3=T4=200,
     lambda=0.03.
+
+    ``valid_hw``: optional dynamic (h_true, w_true) for bucketed eval
+    (run/bucketing.py) — the PC-weighted reduction then excludes the padded
+    region, whose artificial step edge otherwise dominates phase congruency.
+    The global-FFT phase congruency inside the true region remains slightly
+    perturbed by the padding (approximation quantified in test_bucketing).
     """
     x = x * (255.0 / data_range)
     y = y * (255.0 / data_range)
@@ -185,6 +191,8 @@ def fsim(x, y, data_range=1.0, chromatic=True):
     if f > 1:
         x = avg_pool2d(x, f)
         y = avg_pool2d(y, f)
+        if valid_hw is not None:
+            valid_hw = (valid_hw[0] // f, valid_hw[1] // f)
 
     lum_x, lum_y = x[:, 0], y[:, 0]
 
@@ -208,5 +216,12 @@ def fsim(x, y, data_range=1.0, chromatic=True):
         s_l = s_l * jnp.where(s_iq >= 0, mag, mag * math.cos(math.pi * lmbda))
 
     pc_max = jnp.maximum(pc_x, pc_y)
+    if valid_hw is not None:
+        mh, mw = pc_max.shape[-2], pc_max.shape[-1]
+        ih = lax.broadcasted_iota(jnp.int32, (mh, mw), 0)
+        iw = lax.broadcasted_iota(jnp.int32, (mh, mw), 1)
+        pc_max = pc_max * ((ih < valid_hw[0]) & (iw < valid_hw[1])).astype(
+            pc_max.dtype
+        )
     score = (s_l * pc_max).sum(axis=(-2, -1)) / pc_max.sum(axis=(-2, -1))
     return score.mean()

@@ -18,6 +18,7 @@ Pipeline parity notes (reference line numbers):
 Input: channel-last ``(B, H, W, 3)`` RGB in [0, 1].
 """
 
+import jax
 import jax.numpy as jnp
 
 from color_transfer_tpu.core.blur import gaussian_blur
@@ -31,7 +32,11 @@ _INTENT_WEIGHTS = {
 }
 
 
-def icid(img1, img2, intent="perceptual", omit_maps67=False, downsampling=True, alpha=3):
+def icid(img1, img2, intent="perceptual", omit_maps67=False, downsampling=True,
+         alpha=3, valid_hw=None):
+    """``valid_hw``: optional dynamic (h_true, w_true) for bucketed eval
+    (run/bucketing.py) — the final mean then covers only the true region
+    (the 11x11 blur band at the pad boundary remains an approximation)."""
     if intent not in _INTENT_WEIGHTS:
         raise ValueError(
             "Intent should be either 'perceptual', 'hue-preserving', or 'chromatic'"
@@ -42,6 +47,8 @@ def icid(img1, img2, intent="perceptual", omit_maps67=False, downsampling=True, 
     if downsampling:
         h, wd = img1.shape[-3], img1.shape[-2]
         f = max(1, round(min(h, wd) / 256))
+        if f > 1 and valid_hw is not None:
+            valid_hw = (valid_hw[0] // f, valid_hw[1] // f)
         if f > 1:
             # reference utils/icid.py:64-65 — torch interpolate with
             # scale_factor=1/f: output size floor(dim / f).
@@ -110,4 +117,13 @@ def icid(img1, img2, intent="perceptual", omit_maps67=False, downsampling=True, 
     prod = maps[0]
     for m in maps[1:]:
         prod = prod * m
-    return 1.0 - jnp.mean(prod)
+    if valid_hw is None:
+        return 1.0 - jnp.mean(prod)
+    h_t, w_t = valid_hw
+    mh, mw = prod.shape[-2], prod.shape[-1]
+    ih = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)
+    mask = ((ih < h_t) & (iw < w_t)).astype(prod.dtype)
+    total = jnp.sum(prod * mask)
+    count = prod.shape[0] * h_t * w_t
+    return 1.0 - total / count

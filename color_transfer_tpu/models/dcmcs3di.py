@@ -13,6 +13,7 @@ Pallas fused row-attention path.
 from dataclasses import field
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -62,7 +63,7 @@ class DCMCS3DI(nn.Module):
         self.transfer = TransferNet(self.channels, self.transfer_layers)
 
     def __call__(self, left, right, inference=False, use_pallas=False,
-                 pallas_interpret=False, pallas_precise=False):
+                 pallas_interpret=False, pallas_precise=False, valid_w=None):
         """left = distorted target view, right = reference view; NHWC [0,1].
 
         Returns (corrected_left, aux) with aux = (att, att_cycle, valid_mask,
@@ -73,6 +74,10 @@ class DCMCS3DI(nn.Module):
         row-attention kernel — no (B, H, W, W) materialization, enabling
         full-res 1080p on one chip (the reference downscales 0.75x instead,
         demo.ipynb cell 24). aux is (None, ...) on that path.
+
+        ``valid_w`` (dynamic scalar, bucketed-eval path) masks attention
+        columns >= valid_w so zero-padded width never receives attention
+        mass (run/bucketing.py).
         """
         # Shared-weight siamese extraction via batch concat — one conv stack
         # pass for both views (the batch-dim trick the reference uses in its
@@ -107,6 +112,9 @@ class DCMCS3DI(nn.Module):
             )
 
         costs = self.matcher(fea_left, fea_right)
+        if valid_w is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, costs[0].shape, 3)
+            costs = tuple(jnp.where(col < valid_w, c, -1e30) for c in costs)
         att, att_cycle, valid_mask = pasm.output(costs, inference)
 
         fea_warped_right = pasm.warp(self.matcher.value_features(fea_right), att[0])
@@ -122,6 +130,41 @@ class DCMCS3DI(nn.Module):
             valid_mask,
             pasm.warp(right, att[0]),
         )
+
+    def fused_train_forward(self, left, right, chunk=8):
+        """Training forward through the chunked matcher
+        (ops/parallax_train.py): identical corrected output and PAM loss
+        values as ``__call__`` + ``compute_losses``, but the (B, H, W, W)
+        attention volumes never materialize — lifting the reference's
+        crop-size HBM ceiling (SURVEY.md §7 hard part #4).
+
+        Returns (corrected_left, pam_losses) where pam_losses holds the
+        UNWEIGHTED photometric/cycle/smoothness scalars.
+        """
+        from color_transfer_tpu.ops.parallax_train import chunked_parallax_train
+
+        fea = self.extraction(jnp.concatenate([left, right], axis=0))
+        fea_left, fea_right = jnp.split(fea, 2, axis=0)
+        head = self.matcher.head(jnp.concatenate([fea_left, fea_right], axis=0))
+        head_l, head_r = jnp.split(head, 2, axis=0)
+
+        warped_v, mask_l, _, pam = chunked_parallax_train(
+            self.matcher.query(head_l),
+            self.matcher.key(head_l),
+            self.matcher.query(head_r),
+            self.matcher.key(head_r),
+            self.matcher.value(fea_right),
+            left,
+            right,
+            scale=1.0 / self.channels,
+            chunk=chunk,
+        )
+        corrected = self.transfer(
+            jnp.concatenate(
+                [fea_left, warped_v, mask_l.astype(fea_left.dtype)], axis=-1
+            )
+        )
+        return jnp.clip(corrected, 0.0, 1.0), pam
 
 
 def compute_losses(model_out, batch):
@@ -142,6 +185,31 @@ def compute_losses(model_out, batch):
     )
     loss_cycle = 0.005 * pasm.loss_pam_cycle(att_cycle, valid_mask)
     loss_smooth = 0.005 * pasm.loss_pam_smoothness(att)
+
+    total = loss_l1 + loss_mse + loss_ssim + loss_pm + loss_cycle + loss_smooth
+    return total, {
+        "L1 Loss": loss_l1,
+        "MSE Loss": loss_mse,
+        "SSIM Loss": loss_ssim,
+        "Photometric Loss": loss_pm,
+        "Cycle Loss": loss_cycle,
+        "Smoothness Loss": loss_smooth,
+    }
+
+
+def compute_losses_fused(corrected_left, pam_losses, batch):
+    """Loss assembly for the fused_train_forward path: same reference
+    objective (methods/dcmcs3di.py:68-92) with the PAM scalars pre-reduced
+    inside the chunked matcher."""
+    gt = batch["gt"]
+
+    loss_l1 = jnp.mean(jnp.abs(corrected_left - gt))
+    loss_mse = jnp.mean((corrected_left - gt) ** 2)
+    loss_ssim = metrics.ssim_loss(corrected_left, gt, window_size=11)
+
+    loss_pm = 0.005 * pam_losses["photometric"]
+    loss_cycle = 0.005 * pam_losses["cycle"]
+    loss_smooth = 0.005 * pam_losses["smoothness"]
 
     total = loss_l1 + loss_mse + loss_ssim + loss_pm + loss_cycle + loss_smooth
     return total, {

@@ -510,12 +510,14 @@ class SelfAttnPropagation(nn.Module):
         k_proj = nn.Dense(self.in_channels, kernel_init=init, name="k_proj")
 
         b, h, w, c = feature0.shape
-        # Reference quirk kept for checkpoint parity: key is a projection of
-        # the already-projected query (reference attention.py:201-208).
         query = q_proj(feature0)
-        key = k_proj(query)
 
         if not local_window_attn:
+            # Reference quirk kept for checkpoint parity: in the GLOBAL path
+            # the key is a projection of the already-projected query
+            # (reference attention.py:201-208). The LOCAL path below projects
+            # the raw feature instead (reference attention.py:236).
+            key = k_proj(query)
             q = query.reshape(b, h * w, c)
             k = key.reshape(b, h * w, c)
             v = flow.reshape(b, h * w, flow.shape[-1])
@@ -524,6 +526,7 @@ class SelfAttnPropagation(nn.Module):
             return out.reshape(b, h, w, flow.shape[-1])
 
         # Local 3x3 window: unfold key/flow with zero padding.
+        key = k_proj(feature0)
         ksz = 2 * local_window_radius + 1
         key_w = _unfold_nhwc(key, ksz)  # (B, H, W, K2, C)
         flow_w = _unfold_nhwc(flow, ksz)  # (B, H, W, K2, 2)

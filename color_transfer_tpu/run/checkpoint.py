@@ -35,20 +35,20 @@ class CheckpointManager:
             return True
         return score > best if self.mode == "max" else score < best
 
-    def save_last(self, state, hparams=None, step=None):
-        self._save(self.ckpt_dir / "last", state, hparams, step)
+    def save_last(self, state, hparams=None, step=None, epoch=None):
+        self._save(self.ckpt_dir / "last", state, hparams, step, epoch)
 
-    def save_best(self, state, metrics, hparams=None, step=None):
+    def save_best(self, state, metrics, hparams=None, step=None, epoch=None):
         """Save under 'best' iff the monitored metric improved. Returns True
         when saved."""
         score = float(metrics[self.monitor])
         if not self._improved(score):
             return False
-        self._save(self.ckpt_dir / "best", state, hparams, step)
+        self._save(self.ckpt_dir / "best", state, hparams, step, epoch)
         self._best_path.write_text(json.dumps({"score": score, "step": step}))
         return True
 
-    def _save(self, path, state, hparams, step):
+    def _save(self, path, state, hparams, step, epoch=None):
         path = Path(path)
         if path.exists():
             import shutil
@@ -58,7 +58,7 @@ class CheckpointManager:
         # StandardCheckpointer commits asynchronously; barrier before any
         # subsequent overwrite of the same directory.
         self._ckpt.wait_until_finished()
-        meta = {"step": step, "hparams": hparams or {}}
+        meta = {"step": step, "epoch": epoch, "hparams": hparams or {}}
         (path / "meta.json").parent.mkdir(parents=True, exist_ok=True)
         (path / "meta.json").write_text(json.dumps(meta))
 

@@ -22,6 +22,11 @@ def _parse(argv):
     parser.add_argument("--ckpt_path", default=None)
     parser.add_argument("--log_dir", default=None)
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument(
+        "--eval_buckets", type=int, default=None,
+        help="pad eval shapes to this multiple: O(buckets) compiles for "
+             "mixed-shape sweeps (run/bucketing.py)",
+    )
     args, unknown = parser.parse_known_args(argv)
 
     overrides = {}
@@ -114,7 +119,10 @@ def main(argv=None):
         print(json.dumps(results, indent=2))
         return 0
 
-    results = trainer.test(module, datamodule, params=params, max_batches=args.max_batches)
+    results = trainer.test(
+        module, datamodule, params=params, max_batches=args.max_batches,
+        eval_buckets=args.eval_buckets,
+    )
     print(json.dumps(results, indent=2))
     return 0
 

@@ -47,7 +47,8 @@ class DataModule:
 
     def train_loader(self):
         ds = datasets.ArtificialTrainValDataset(
-            self.data_dir / "Train", self.crop_size, self.image_repeats
+            self.data_dir / "Train", self.crop_size, self.image_repeats,
+            seed=self.seed,
         )
         return datasets.Loader(
             ds,
@@ -63,7 +64,7 @@ class DataModule:
         art_dir = self.data_dir / "Validation"
         if art_dir.exists():
             ds = datasets.ArtificialTrainValDataset(
-                art_dir, self.crop_size, self.image_repeats
+                art_dir, self.crop_size, self.image_repeats, seed=self.seed + 1
             )
             loaders.append(
                 datasets.Loader(

@@ -47,9 +47,13 @@ class DCMCS3DIModule:
     (reference methods/dcmcs3di.py:68-92,:146-147)."""
 
     name = "dcmcs3di"
+    # Bucketed eval can pass a dynamic true-width for attention masking
+    # (run/bucketing.py; models/dcmcs3di.py `valid_w`).
+    supports_valid_w = True
 
     def __init__(self, extraction_layers=18, transfer_layers=6, channels=64,
-                 learning_rate=1e-4, heavy_metrics=True):
+                 learning_rate=1e-4, heavy_metrics=True,
+                 fused_attention=False, attention_chunk=8):
         self.model = DCMCS3DI(
             extraction_layers=extraction_layers,
             transfer_layers=transfer_layers,
@@ -57,11 +61,17 @@ class DCMCS3DIModule:
         )
         self.learning_rate = learning_rate
         self.heavy_metrics = heavy_metrics
+        # Memory-bounded training matcher (ops/parallax_train.py): same loss
+        # values/gradients, O(B*chunk*W^2) instead of O(B*H*W^2) attention
+        # memory — enables crops/batches the reference cannot fit.
+        self.fused_attention = fused_attention
+        self.attention_chunk = attention_chunk
         self.hparams = {
             "extraction_layers": extraction_layers,
             "transfer_layers": transfer_layers,
             "channels": channels,
             "learning_rate": learning_rate,
+            "fused_attention": fused_attention,
         }
 
     def make_optimizer(self, num_train_steps=None):
@@ -88,6 +98,20 @@ class DCMCS3DIModule:
         batch = self.synthesize_targets(batch, key)
 
         def loss_fn(params):
+            if self.fused_attention:
+                from color_transfer_tpu.models.dcmcs3di import (
+                    compute_losses_fused,
+                )
+
+                corrected, pam = state.apply_fn(
+                    {"params": params},
+                    batch["target"],
+                    batch["reference"],
+                    chunk=self.attention_chunk,
+                    method=self.model.fused_train_forward,
+                )
+                total, parts = compute_losses_fused(corrected, pam, batch)
+                return total, (corrected, parts)
             out = state.apply_fn(
                 {"params": params}, batch["target"], batch["reference"]
             )
@@ -169,6 +193,19 @@ class ClassicalModule:
         self.fn = methods.get_method(func_spec)
         self._batched = jax.jit(jax.vmap(self.fn))
         self.hparams = {"func_spec": func_spec}
+
+    def init_state(self, rng, sample_batch, num_train_steps=None):
+        """Classical methods are parameterless; the harness still drives
+        them through the same state-passing interface."""
+        del rng, sample_batch, num_train_steps
+        return None
+
+    def val_step(self, state, batch):
+        """Metric-only validation (the reference Runner has no losses,
+        methods/__init__.py:29-40)."""
+        del state
+        out = self.eval_forward(None, batch)
+        return quality_metrics(out, batch["gt"], "", True)
 
     def eval_forward(self, params, batch):
         del params

@@ -70,6 +70,7 @@ class Trainer:
         init_rng, rng = jax.random.split(rng)
         state = module.init_state(init_rng, sample, num_train_steps)
 
+        start_epoch = 0
         if resume is not None:
             from color_transfer_tpu.run.checkpoint import load_checkpoint
 
@@ -85,13 +86,23 @@ class Trainer:
             if "batch_stats" in restored:
                 replacements["batch_stats"] = restored["batch_stats"]
             state = state.replace(**replacements)
+            # Epoch-accurate resume (Lightning --ckpt_path semantics,
+            # reference README.md:69-70): continue from the saved epoch, not
+            # epoch 0 — otherwise a resumed run trains up to 2x the budget.
+            if meta.get("epoch") is not None:
+                start_epoch = int(meta["epoch"]) + 1
+            else:
+                start_epoch = int(meta.get("step") or 0) // max(steps_per_epoch, 1)
+            # Keep the shuffle/augmentation stream aligned with an
+            # uninterrupted run.
+            train_loader._epoch = start_epoch
 
         params_sharding = replicated_sharding(self.mesh)
         state = jax.device_put(state, params_sharding)
 
         step = int(state.step)
         max_scores = {}
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             last_batch = None
             last_logs = {}
@@ -149,15 +160,56 @@ class Trainer:
 
             if (epoch + 1) % self.val_every == 0:
                 val_metrics = self.validate(module, datamodule, state, step)
+                self._log_val_panels(
+                    module, datamodule, state, val_metrics, max_scores, step
+                )
                 payload = {"params": state.params, "opt_state": state.opt_state}
                 if getattr(state, "batch_stats", None):
                     payload["batch_stats"] = state.batch_stats
-                self.ckpt.save_last(payload, hparams=module.hparams, step=step)
+                self.ckpt.save_last(
+                    payload, hparams=module.hparams, step=step, epoch=epoch
+                )
                 if self.ckpt.monitor in val_metrics:
                     self.ckpt.save_best(
-                        payload, val_metrics, hparams=module.hparams, step=step
+                        payload, val_metrics, hparams=module.hparams, step=step,
+                        epoch=epoch,
                     )
         return state
+
+    def _log_val_panels(self, module, datamodule, state, val_metrics,
+                        max_scores, step):
+        """Best-PSNR-gated image panels per validation split (the reference
+        keeps a per-prefix ``max_scores`` dict and logs panels for Training
+        AND both validation dataloaders, methods/dcmcs3di.py:110-144)."""
+        if not hasattr(module, "image_panels"):
+            return
+        rng = jax.random.PRNGKey(self.seed + 2)
+        for idx, loader in enumerate(datamodule.val_loaders()):
+            split = f"Validation/dataloader_idx_{idx}"
+            psnr = val_metrics.get(f"Validation PSNR/dataloader_idx_{idx}")
+            if psnr is None or psnr <= max_scores.get(split, 0.0):
+                continue
+            max_scores[split] = psnr
+            try:
+                batch = self._device_batch(next(iter(loader)), sharded=False)
+                if "target" not in batch:
+                    batch = module.synthesize_targets(
+                        batch, jax.random.fold_in(rng, idx)
+                    )
+                panels = module.image_panels(state, batch)
+                self.logger.log_image(
+                    f"Validation Images/dataloader_idx_{idx}",
+                    [np.asarray(v) for v in panels.values()],
+                    caption=list(panels.keys()),
+                    step=step,
+                )
+            except Exception:  # noqa: BLE001 — viz must not kill a run
+                import traceback
+
+                (self.log_dir / "image_log_error.txt").write_text(
+                    traceback.format_exc()
+                )
+                self.logger.log({"image_log_error": 1.0}, step=step)
 
     # -- validation --
 
@@ -193,10 +245,21 @@ class Trainer:
 
     # -- test --
 
-    def test(self, module, datamodule, params=None, max_batches=None):
+    def test(self, module, datamodule, params=None, max_batches=None,
+             eval_buckets=None):
         """Full eval sweep: artificial grid + real-world, PSNR/SSIM/FSIM/iCID
-        (the reference's `test` subcommand, methods/__init__.py:29-40)."""
+        (the reference's `test` subcommand, methods/__init__.py:29-40).
+
+        ``eval_buckets``: pad-to-multiple bucket size (e.g. 64) — mixed-shape
+        sweeps then compile O(buckets) times instead of O(distinct shapes)
+        (run/bucketing.py; SURVEY.md §7 hard part #5). None = native shapes.
+        """
         grid = distortions.setup_grid_distortions()
+        bucketed = None
+        if eval_buckets:
+            from color_transfer_tpu.run.bucketing import BucketedEvaluator
+
+            bucketed = BucketedEvaluator(module, multiple=eval_buckets)
         results = {}
         for idx, loader in enumerate(datamodule.test_loaders()):
             acc = MeanAccumulator()
@@ -206,11 +269,18 @@ class Trainer:
                 dist_idx = batch.pop("distortion_idx", None)
                 batch = self._device_batch(batch, sharded=False)
                 if "target" not in batch:
-                    # Artificial test: apply the grid distortion by index.
-                    fn = grid[int(dist_idx[0])]
-                    batch = {**batch, "target": fn(batch["gt"])}
-                out = module.eval_forward(params, batch)
-                logs = module.eval_metrics(out, batch["gt"])
+                    # Artificial test: apply each item's grid distortion
+                    # (batch-safe — items may carry different indices).
+                    idxs = np.atleast_1d(np.asarray(dist_idx)).tolist()
+                    target = jnp.stack(
+                        [grid[int(d)](batch["gt"][j]) for j, d in enumerate(idxs)]
+                    )
+                    batch = {**batch, "target": target}
+                if bucketed is not None:
+                    _, logs = bucketed.eval_batch(params, batch)
+                else:
+                    out = module.eval_forward(params, batch)
+                    logs = module.eval_metrics(out, batch["gt"])
                 acc.update({k: float(v) for k, v in logs.items()})
             means = acc.means()
             results.update(
