@@ -66,6 +66,15 @@ def build_from_config(cfg, log_dir=None):
     """Instantiate (module, datamodule, trainer) from a config dict."""
     cfg = copy.deepcopy(cfg)
 
+    # Multi-host runs configure `distributed:` (coordinator_address,
+    # num_processes, process_id) or the JAX_* env vars; must run before any
+    # mesh/device use (parallel/multihost.py).
+    dist_cfg = cfg.get("distributed") or {}
+    if dist_cfg:
+        from color_transfer_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(**dist_cfg)
+
     model_cfg = cfg.get("model", {})
     module = build_module(
         model_cfg.get("class_path", "classical"), model_cfg.get("init_args", {})
