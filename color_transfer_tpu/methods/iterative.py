@@ -25,18 +25,34 @@ from jax import lax
 from color_transfer_tpu.core.resize import resize_antialias, resize_bilinear
 
 
-def _uniform_histogram(x, lo, hi, bins):
-    """np.histogram with uniform bins, TPU-fast: bucket by index arithmetic
-    and count with an equality-compare reduction (searchsorted/scatter-based
-    histograms cost ~200 ms for a 1080p frame on TPU; this is ~5 ms)."""
-    scaled = (x - lo) / (hi - lo) * bins
+_SPLIT = 16  # bin index decomposed as idx = 16*hi + lo for the MXU trick
+
+
+def _onehot_pair(idx, dtype=jnp.bfloat16):
+    """Decompose bin indices in [0, 256) into two 16-way one-hots.
+
+    The pair turns 256-entry histogram/table operations into 16x16 matmuls
+    that run on the MXU instead of N*256 compare-reductions on the VPU
+    (~8x measured at 1080p). bf16 is exact for 0/1 values.
+    """
+    hi = idx // _SPLIT
+    lo = idx - hi * _SPLIT
+    r = jnp.arange(_SPLIT, dtype=jnp.int32)
+    P = (hi[..., None] == r).astype(dtype)
+    Q = (lo[..., None] == r).astype(dtype)
+    return P, Q
+
+
+def _uniform_histograms(scaled, bins):
+    """Batched np.histogram with uniform bins: ``scaled`` is (A, N) already
+    mapped to bin space ([0, bins)); returns (A, bins) f32 counts.
+
+    counts[a, 16h+l] = sum_n [hi==h][lo==l] — one batched 16x16 matmul on
+    the MXU (exact: 0/1 bf16 operands, f32 accumulation, counts < 2^24)."""
     idx = jnp.clip(jnp.floor(scaled), 0, bins - 1).astype(jnp.int32)
-    # (N, 1) == (1, bins) -> column sums. XLA tiles this as a fused reduce.
-    return jnp.sum(
-        idx[:, None] == jnp.arange(bins, dtype=jnp.int32)[None, :],
-        axis=0,
-        dtype=jnp.float32,
-    )
+    P, Q = _onehot_pair(idx)
+    counts = jnp.einsum("anh,anl->ahl", P, Q, preferred_element_type=jnp.float32)
+    return counts.reshape(scaled.shape[0], _SPLIT * _SPLIT)[:, :bins]
 
 
 def _interp_small(x, xp, fp):
@@ -53,63 +69,102 @@ def _interp_small(x, xp, fp):
     return out
 
 
-def _interp_uniform_grid(x, grid_lo, step, fp, left, right):
-    """np.interp(x, xp, fp, left, right) where xp is the uniform grid
-    ``grid_lo + step * arange(len(fp))`` — direct index arithmetic.
+def _interp_uniform_tables(x, grid_lo, step, fp, left, right, right_edge):
+    """Batched np.interp(x, xp, fp, left, right) where xp is the per-axis
+    uniform grid ``grid_lo[a] + step[a] * arange(bins)``.
 
-    The two table lookups fp[i], fp[i+1] run as one equality-compare
-    reduction instead of gathers (TPU gathers of 2M+ scalar indices cost
-    ~150 ms/frame; the fused compare pass is ~10x cheaper)."""
-    n = fp.shape[0]
-    pos = (x - grid_lo) / step
+    x: (A, N); grid_lo/step/right_edge: (A,); fp: (A, bins). ``right_edge``
+    is the exact last grid point (np.histogram's final edge == the data
+    max): recomputing it as grid_lo + step*(n-1) can round BELOW the true
+    max in f32, which would clamp the max-valued pixel to ``right`` —
+    catastrophically wrong (`right` is in bin units).
+
+    The fp[i], fp[i+1] lookups run as a one-hot MXU matmul (see
+    ``_onehot_pair``): T = P @ [F|Fnext] selects each element's 16-entry
+    table row exactly (HIGHEST precision keeps the f32 table values intact
+    through the bf16 MXU passes), then a 16-way masked reduction picks the
+    column."""
+    a, _ = x.shape
+    n = fp.shape[1]
+    pos = (x - grid_lo[:, None]) / step[:, None]
     i = jnp.clip(jnp.floor(pos), 0, n - 2).astype(jnp.int32)
     frac = pos - i.astype(pos.dtype)
 
-    fp_next = jnp.concatenate([fp[1:], fp[-1:]])
-    eq = i[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
-    v0 = jnp.sum(jnp.where(eq, fp[None, :], 0.0), axis=1)
-    v1 = jnp.sum(jnp.where(eq, fp_next[None, :], 0.0), axis=1)
+    fp_next = jnp.concatenate([fp[:, 1:], fp[:, -1:]], axis=1)
+    pad = _SPLIT * _SPLIT - n
+    F = jnp.pad(fp, ((0, 0), (0, pad))).reshape(a, _SPLIT, _SPLIT)
+    Fn = jnp.pad(fp_next, ((0, 0), (0, pad))).reshape(a, _SPLIT, _SPLIT)
+    W = jnp.concatenate([F, Fn], axis=2)  # (A, 16, 32)
+
+    P, Q = _onehot_pair(i)
+    T = jnp.einsum(
+        "anh,ahk->ank",
+        P,
+        W,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    Qf = Q.astype(jnp.float32)
+    v0 = jnp.sum(T[..., :_SPLIT] * Qf, axis=-1)
+    v1 = jnp.sum(T[..., _SPLIT:] * Qf, axis=-1)
 
     val = v0 * (1.0 - frac) + v1 * frac
-    val = jnp.where(x < grid_lo, left, val)
-    val = jnp.where(x > grid_lo + step * (n - 1), right, val)
+    val = jnp.where(x < grid_lo[:, None], left, val)
+    val = jnp.where(x > right_edge[:, None], right, val)
     return val
 
 
-def _histogram_transfer_axis(d0, d1, bins):
-    """CDF matching of one rotated axis (reference methods/iterative.py:39-53).
+def _histogram_transfer_axes(d0, d1, bins):
+    """CDF matching of all rotated axes at once
+    (reference methods/iterative.py:39-53).
 
-    d0, d1: (N,) projections of target/reference. Returns transported d0.
+    d0, d1: (3, N) projections of target/reference. Returns transported d0.
     """
-    lo = jnp.minimum(d0.min(), d1.min())
-    hi = jnp.maximum(d0.max(), d1.max())
+    lo = jnp.minimum(d0.min(axis=1), d1.min(axis=1))  # (3,)
+    hi = jnp.maximum(d0.max(axis=1), d1.max(axis=1))
     step = (hi - lo) / bins
 
-    p0 = _uniform_histogram(d0, lo, hi, bins)
-    p1 = _uniform_histogram(d1, lo, hi, bins)
-
-    cp0 = jnp.cumsum(p0)
-    cp0 = cp0 / cp0[-1]
-    cp1 = jnp.cumsum(p1)
-    cp1 = cp1 / cp1[-1]
+    lo2 = jnp.tile(lo, 2)[:, None]
+    span2 = jnp.tile(hi - lo, 2)[:, None]
+    scaled = (jnp.concatenate([d0, d1], axis=0) - lo2) / span2 * bins
+    counts = _uniform_histograms(scaled, bins)  # (6, bins)
+    cp = jnp.cumsum(counts, axis=1)
+    cp = cp / cp[:, -1:]
+    cp0, cp1 = cp[:3], cp[3:]
 
     # f maps target-quantiles onto reference bin positions (edges[1:]); then
     # transport each sample. left=0 / right=bins mirror the reference's
     # np.interp args (reference methods/iterative.py:51-53).
-    edges_tail = lo + step * jnp.arange(1, bins + 1)
-    f = _interp_small(cp0, cp1, edges_tail)
-    return _interp_uniform_grid(
-        d0, grid_lo=lo + step, step=step, fp=f, left=0.0, right=float(bins)
+    edges_tail = lo[:, None] + step[:, None] * jnp.arange(1, bins + 1)
+    f = jax.vmap(_interp_small)(cp0, cp1, edges_tail)  # (3, bins)
+    return _interp_uniform_tables(
+        d0,
+        grid_lo=lo + step,
+        step=step,
+        fp=f,
+        left=0.0,
+        right=float(bins),
+        right_edge=hi,  # the exact final histogram edge (== joint max)
     )
 
 
 def random_rotations(key, n_iter, dim=3):
-    """Haar-random rotations (det +1) replacing scipy special_ortho_group."""
-    q = jax.random.orthogonal(key, dim, shape=(n_iter,))
-    det = jnp.linalg.det(q)
-    # Flip the first row where det == -1 to land in SO(dim).
-    flip = jnp.where(det[:, None] < 0, -1.0, 1.0)
-    return q.at[:, 0, :].multiply(flip)
+    """Haar-random 3D rotations (det +1) replacing scipy special_ortho_group.
+
+    Built by modified Gram-Schmidt over Gaussian columns plus a cross
+    product for the third axis (always det +1). This replaces
+    ``jax.random.orthogonal``/``jnp.linalg.qr``, whose XLA lowering returns
+    matrices with ~4e-3 orthogonality error in f32 — far too sloppy to use
+    ``rot.T`` as the inverse in the IDT de-rotation step (MGS is ~1e-7)."""
+    if dim != 3:
+        raise ValueError("random_rotations supports dim=3 (color axes) only")
+    g = jax.random.normal(key, (n_iter, dim, dim))
+    c0 = g[:, :, 0]
+    c0 = c0 / jnp.linalg.norm(c0, axis=1, keepdims=True)
+    c1 = g[:, :, 1] - jnp.sum(c0 * g[:, :, 1], axis=1, keepdims=True) * c0
+    c1 = c1 / jnp.linalg.norm(c1, axis=1, keepdims=True)
+    c2 = jnp.cross(c0, c1)
+    return jnp.stack([c0, c1, c2], axis=2)
 
 
 @partial(jax.jit, static_argnames=("bins", "n_iter"))
@@ -129,13 +184,18 @@ def iterative_distribution_transfer(
 
     rotations = random_rotations(key, n_iter)
 
-    transfer = jax.vmap(_histogram_transfer_axis, in_axes=(0, 0, None))
+    # HIGHEST keeps the projections in true f32: the default bf16 matmul
+    # noise (~1e-3) is a quarter of a histogram bin's width.
+    mm = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
 
     def body(t_cur, rot):
-        d0r = rot @ t_cur.T  # (3, N)
-        d1r = rot @ r.T
-        d_r = transfer(d0r, d1r, bins)
-        t_next = jnp.linalg.solve(rot, d_r - d0r).T + t_cur
+        d0r = mm(rot, t_cur.T)  # (3, N)
+        d1r = mm(rot, r.T)
+        d_r = _histogram_transfer_axes(d0r, d1r, bins)
+        # rot is orthogonal with det +1, so solve(rot, x) == rot.T @ x —
+        # the broadcast 3x3 triangular solve costs ~100 ms/batch4 @1080p on
+        # TPU while the transposed matmul is free (measured ablation).
+        t_next = mm(rot.T, d_r - d0r).T + t_cur
         return t_next, None
 
     t_out, _ = lax.scan(body, t, rotations)
@@ -174,15 +234,27 @@ def _solve(img_out, img_in, img_col, nbit, level, eps=1e-6, rho=1.0 / 5.0):
 
     den = psi + phi1 + phi2 + phi3 + phi4 + eps
 
+    # Everything not involving ``out`` is loop-invariant: hoist it out of
+    # the Jacobi sweep (the sweeps are HBM-bound; this nearly halves the
+    # per-sweep arithmetic and read traffic).
+    const = (
+        psi * img_col
+        + phi1 * (img_in - _shift_left(img_in))
+        + phi2 * (img_in - _shift_up(img_in))
+        + phi3 * (img_in - _shift_right(img_in))
+        + phi4 * (img_in - _shift_down(img_in))
+    )
+    inv_den_damped = (1.0 - rho) / den
+
     def sweep(_, out):
         num = (
-            psi * img_col
-            + phi1 * (_shift_left(out) - _shift_left(img_in) + img_in)
-            + phi2 * (_shift_up(out) - _shift_up(img_in) + img_in)
-            + phi3 * (_shift_right(out) - _shift_right(img_in) + img_in)
-            + phi4 * (_shift_down(out) - _shift_down(img_in) + img_in)
+            const
+            + phi1 * _shift_left(out)
+            + phi2 * _shift_up(out)
+            + phi3 * _shift_right(out)
+            + phi4 * _shift_down(out)
         )
-        return num / den * (1.0 - rho) + rho * out
+        return num * inv_den_damped + rho * out
 
     return lax.fori_loop(0, nbit, sweep, img_out)
 

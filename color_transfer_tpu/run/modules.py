@@ -78,7 +78,9 @@ class DCMCS3DIModule:
         return optax.adam(self.learning_rate)
 
     def init_state(self, rng, sample_batch, num_train_steps=None):
-        variables = self.model.init(
+        # jit the init: eager Flax init dispatches every op separately,
+        # which is pathologically slow under remote-compile TPU setups.
+        variables = jax.jit(self.model.init)(
             rng, sample_batch["gt"], sample_batch["reference"]
         )
         return train_state.TrainState.create(
@@ -287,7 +289,7 @@ class DMSCTModule:
 
     def init_state(self, rng, sample_batch, num_train_steps=None):
         p_rng, d_rng = jax.random.split(rng)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             {"params": p_rng, "dropout": d_rng},
             sample_batch["gt"],
             sample_batch["reference"],
