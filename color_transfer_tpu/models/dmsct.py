@@ -28,7 +28,7 @@ from color_transfer_tpu.core.resize import (
     resize_nearest,
     upsample_flow_bilinear,
 )
-from color_transfer_tpu.core.sampling import flow_warp
+from color_transfer_tpu.core.sampling import flow_warp_batched
 from color_transfer_tpu.models.efficientnet import EfficientNetEncoder
 from color_transfer_tpu.models.gmflow import GMFlow
 from color_transfer_tpu.models.unet_decoder import UnetDecoder, SegmentationHead
@@ -94,7 +94,9 @@ class DMSCT(nn.Module):
             zip(features_target, features_reference)
         ):
             flow_idx = upsample_flow_bilinear(flow, 2.0**-idx) if idx else flow
-            warped = jax.vmap(flow_warp)(feat_r, flow_idx)
+            # custom-VJP warp: the feature cotangent scatters in a Pallas
+            # kernel (XLA's serialized scatter costs ~2.4 s/step here).
+            warped = flow_warp_batched(feat_r, flow_idx)
             occ_idx = (
                 jnp.moveaxis(
                     resize_nearest(
