@@ -42,11 +42,15 @@ class DMSCT(nn.Module):
     matcher_num_reg_refine: int = 6
     matcher_num_layers: int = 6
     matcher_max_area: int = 500 * 900
+    # bf16 halves the matcher's dominant gather traffic (see
+    # local_correlation_with_flow); set "float32" for bit-strict parity.
+    matcher_corr_dtype: str = "bfloat16"
 
     def setup(self):
         self.matcher = GMFlow(
             num_transformer_layers=self.matcher_num_layers,
             num_reg_refine=self.matcher_num_reg_refine,
+            corr_dtype=jnp.dtype(self.matcher_corr_dtype).type,
         )
         self.encoder = EfficientNetEncoder(
             name_variant=self.encoder_name, depth=self.encoder_depth

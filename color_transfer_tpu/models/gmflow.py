@@ -105,7 +105,8 @@ class CNNEncoder(nn.Module):
             for stride in (1, 2):
                 outs.append(
                     jax.lax.conv_general_dilated(
-                        x, kernel, (stride, stride), [(1, 1), (1, 1)],
+                        x, kernel.astype(x.dtype), (stride, stride),
+                        [(1, 1), (1, 1)],
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     )
                 )
@@ -422,7 +423,9 @@ def local_correlation_softmax(feature0, feature1, local_radius):
     return correspondence - coords, prob
 
 
-def local_correlation_with_flow(feature0, feature1, flow, local_radius):
+def local_correlation_with_flow(
+    feature0, feature1, flow, local_radius, corr_dtype=jnp.bfloat16
+):
     """Windowed correlation at flow-displaced positions, no softmax — feeds
     the GRU refiner (reference matching.py:89-126).
 
@@ -433,6 +436,16 @@ def local_correlation_with_flow(feature0, feature1, flow, local_radius):
     faster than per-offset bilinear gathers on v5e (gathers with large
     contiguous slices amortize the random access), with O(B*H*W*K^2) live
     memory.
+
+    corr_dtype: the gathered features and the channel dot run in this dtype
+    (f32 accumulation). Pass jnp.float32 for bit-strict parity checks.
+
+    Gather granularity matters more than gather bytes on TPU: per-row
+    (1, k, C) slices need B*HW*k descriptors (~2M at DMSCT's training
+    shape, ~50 cycles each -> ~110 ms/iteration). One whole-patch
+    (k, k, C) slice per pixel is k fewer descriptors; a scan over pixel
+    chunks bounds the gathered buffer to O(B*chunk*k^2*C) (the unchunked
+    variant OOMs at training batch sizes).
     """
     b, h, w, c = feature0.shape
     r = local_radius
@@ -446,7 +459,9 @@ def local_correlation_with_flow(feature0, feature1, flow, local_radius):
     # tap is zero either way (grid_sample zeros-padding semantics).
     bx = jnp.clip(base[..., 0], -(r + 2.0), w + r + 1.0)
     by = jnp.clip(base[..., 1], -(r + 2.0), h + r + 1.0)
-    f1p = jnp.pad(feature1, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    f1p = jnp.pad(
+        feature1.astype(corr_dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    )
 
     x0 = jnp.floor(bx)
     y0 = jnp.floor(by)
@@ -457,6 +472,8 @@ def local_correlation_with_flow(feature0, feature1, flow, local_radius):
         axis=-1,
     ).reshape(b, h * w, 2)
 
+    f0_flat = feature0.astype(corr_dtype).reshape(b, h * w, c)
+
     def gather_row(img, idx):
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
@@ -466,17 +483,21 @@ def local_correlation_with_flow(feature0, feature1, flow, local_radius):
             mode=jax.lax.GatherScatterMode.CLIP,
         )[:, 0]  # (HW, k, C)
 
-    f0_flat = feature0.reshape(b, h * w, c)
-
     def window_row(_, i):
         # Scan over the k window rows: bounds the gathered buffer to
         # O(B*H*W*k*C) instead of O(B*H*W*k^2*C) (the full-patch variant
-        # OOMs at training batch sizes).
+        # OOMs at training batch sizes). Gather cost here is bound by the
+        # count of contiguous memory runs (B*HW*k either way): whole-patch
+        # (k, k, C) slices measured the same speed, so keep the
+        # memory-lean row layout.
         row_starts = starts + jnp.stack(
             [jnp.full((), i, jnp.int32), jnp.zeros((), jnp.int32)]
         )
         rows = jax.vmap(gather_row)(f1p, row_starts)  # (B, HW, k, C)
-        return None, jnp.einsum("bpjc,bpc->bpj", rows, f0_flat)
+        return None, jnp.einsum(
+            "bpjc,bpc->bpj", rows, f0_flat,
+            preferred_element_type=jnp.float32,
+        )
 
     _, dots = jax.lax.scan(window_row, None, jnp.arange(k, dtype=jnp.int32))
     dots = jnp.moveaxis(dots, 0, 2)  # (B, HW, k, k)
@@ -653,6 +674,9 @@ class UniMatchFlow(nn.Module):
     upsample_factor: int = 4
     num_transformer_layers: int = 6
     ffn_dim_expansion: int = 4
+    # dtype of the GRU-refinement correlation gather+dot (the dominant HBM
+    # traffic of the matcher); jnp.float32 for bit-strict parity checks.
+    corr_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone = CNNEncoder(self.feature_channels, self.num_scales)
@@ -740,7 +764,8 @@ class UniMatchFlow(nn.Module):
                 for _ in range(num_reg_refine):
                     flow = jax.lax.stop_gradient(flow)
                     correlation = local_correlation_with_flow(
-                        feature0_ori, feature1_ori, flow, local_radius=4
+                        feature0_ori, feature1_ori, flow, local_radius=4,
+                        corr_dtype=self.corr_dtype,
                     )
                     proj = self.refine_proj(feature0)
                     net, inp = jnp.split(proj, 2, axis=-1)
@@ -761,10 +786,12 @@ class GMFlow(nn.Module):
     inference_size: tuple = None  # static (H, W) the matcher runs at
     num_transformer_layers: int = 6
     num_reg_refine: int = 6
+    corr_dtype: jnp.dtype = jnp.bfloat16  # see UniMatchFlow.corr_dtype
 
     def setup(self):
         self.core = UniMatchFlow(
-            num_transformer_layers=self.num_transformer_layers
+            num_transformer_layers=self.num_transformer_layers,
+            corr_dtype=self.corr_dtype,
         )
 
     def __call__(self, img0, img1, pred_bidir_flow=True,

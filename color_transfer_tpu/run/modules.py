@@ -245,6 +245,7 @@ class DMSCTModule:
         matcher_checkpoint=None,
         matcher_num_layers=6,
         matcher_num_reg_refine=6,
+        matcher_corr_dtype="bfloat16",
     ):
         from color_transfer_tpu.models.dmsct import DMSCT
 
@@ -255,6 +256,7 @@ class DMSCTModule:
             decoder_channels=tuple(decoder_channels),
             matcher_num_layers=matcher_num_layers,
             matcher_num_reg_refine=matcher_num_reg_refine,
+            matcher_corr_dtype=matcher_corr_dtype,
         )
         self.learning_rate = learning_rate
         self.eta_min = eta_min

@@ -113,7 +113,11 @@ def test_gmflow_core_forward_parity(gmflow_pair):
         )
     flow_t = _nhwc(res["flow_preds"][-1])
 
-    model = UniMatchFlow(num_transformer_layers=GMFLOW_LAYERS)
+    # corr_dtype=f32: these tests check the rewrite's math bit-strictly
+    # against torch; the bf16 default is a perf knob verified separately.
+    model = UniMatchFlow(
+        num_transformer_layers=GMFLOW_LAYERS, corr_dtype=jnp.float32
+    )
     flow_j = model.apply(
         {"params": params["core"]},
         jnp.asarray(img0),
@@ -153,7 +157,11 @@ def test_gmflow_core_bidir_parity(gmflow_pair):
     flow_pr = res["flow_preds"][-1]  # (2B, 2, H, W) fwd/bwd interleaved
     fwd_t, bwd_t = _nhwc(flow_pr[0::2]), _nhwc(flow_pr[1::2])
 
-    model = UniMatchFlow(num_transformer_layers=GMFLOW_LAYERS)
+    # corr_dtype=f32: these tests check the rewrite's math bit-strictly
+    # against torch; the bf16 default is a perf knob verified separately.
+    model = UniMatchFlow(
+        num_transformer_layers=GMFLOW_LAYERS, corr_dtype=jnp.float32
+    )
     flow_j = model.apply(
         {"params": params["core"]},
         jnp.asarray(img0),
@@ -211,7 +219,8 @@ def test_gmflow_wrapper_protocol_parity(gmflow_pair):
         )
 
     model = GMFlow(
-        num_transformer_layers=GMFLOW_LAYERS, num_reg_refine=GMFLOW_REFINE
+        num_transformer_layers=GMFLOW_LAYERS, num_reg_refine=GMFLOW_REFINE,
+        corr_dtype=jnp.float32,
     )
     out_j = model.apply(
         {"params": {"core": params["core"]}}, jnp.asarray(img0), jnp.asarray(img1)
