@@ -304,7 +304,19 @@ def _flow_warp_batched_bwd(res, g):
     b, h, w, c = feature.shape
     x, y, starts, wx, wy = _warp_geometry(flow, h, w)
 
-    if jax.default_backend() == "tpu" and h % 8 == 0:
+    # The kernel needs its lane-padded windows resident in VMEM: the
+    # accumulator + g4 window + output window, each with C padded to 128
+    # lanes and the output/g4 double-buffered. Route shapes that would blow
+    # the 110 MB budget (see CompilerParams below) to the XLA fallback
+    # instead of failing at compile time.
+    c_pad = -(-c // 128) * 128
+    g4_pad = -(-4 * c // 128) * 128
+    kernel_vmem = (
+        (h + 4) * (w + 4) * c_pad * 4 * 3  # acc scratch + out window x2 buf
+        + h * w * g4_pad * 4 * 2  # g4 window x2 buf
+    )
+    fits = kernel_vmem < 100 * 1024 * 1024
+    if jax.default_backend() == "tpu" and h % 8 == 0 and fits:
         dpad = _adjoint_warp_pallas(starts, wx, wy, g)
     else:
         corner_w = jnp.stack(

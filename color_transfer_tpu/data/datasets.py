@@ -164,6 +164,16 @@ class Loader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def first_batch(self):
+        """One batch, synchronously: no producer thread and no epoch bump.
+
+        Use this for shape probes and image panels — ``next(iter(loader))``
+        would abandon the producer thread blocked on its queue (leaking the
+        thread pool and prefetched batches) and advance the epoch counter,
+        perturbing the seeded shuffle stream."""
+        idxs = range(min(self.batch_size, len(self.dataset)))
+        return _collate([self.dataset[i] for i in idxs])
+
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self._epoch)
         if hasattr(self.dataset, "set_epoch"):

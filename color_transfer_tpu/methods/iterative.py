@@ -228,13 +228,15 @@ def _histogram_transfer_axes(d0, d1, bins):
     hi = jnp.maximum(d0.max(axis=1), d1.max(axis=1))
     step = (hi - lo) / bins
 
-    lo2 = jnp.tile(lo, 2)[:, None]
-    span2 = jnp.tile(hi - lo, 2)[:, None]
-    scaled = (jnp.concatenate([d0, d1], axis=0) - lo2) / span2 * bins
-    counts = _uniform_histograms(scaled, bins)  # (6, bins)
-    cp = jnp.cumsum(counts, axis=1)
-    cp = cp / cp[:, -1:]
-    cp0, cp1 = cp[:3], cp[3:]
+    # Histogram target and reference separately: their pixel counts may
+    # differ (a reference image of another size is a normal use).
+    def cdf(d):
+        scaled = (d - lo[:, None]) / (hi - lo)[:, None] * bins
+        counts = _uniform_histograms(scaled, bins)  # (3, bins)
+        cp = jnp.cumsum(counts, axis=1)
+        return cp / cp[:, -1:]
+
+    cp0, cp1 = cdf(d0), cdf(d1)
 
     # f maps target-quantiles onto reference bin positions (edges[1:]); then
     # transport each sample. left=0 / right=bins mirror the reference's

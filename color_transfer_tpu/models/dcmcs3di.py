@@ -115,7 +115,9 @@ class DCMCS3DI(nn.Module):
         if valid_w is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, costs[0].shape, 3)
             costs = tuple(jnp.where(col < valid_w, c, -1e30) for c in costs)
-        att, att_cycle, valid_mask = pasm.output(costs, inference)
+        att, att_cycle, valid_mask = pasm.output(
+            costs, inference, valid_w=valid_w
+        )
 
         fea_warped_right = pasm.warp(self.matcher.value_features(fea_right), att[0])
 

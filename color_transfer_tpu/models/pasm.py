@@ -49,7 +49,7 @@ class PAB(nn.Module):
         return self.value(x)
 
 
-def output(costs, inference=False):
+def output(costs, inference=False, valid_w=None):
     """Masked softmax over cost volumes -> attention maps, cycle maps and
     valid masks (reference pasmnet/utils.py:8-52).
 
@@ -57,24 +57,37 @@ def output(costs, inference=False):
     at inference the cycle maps and right mask are None (reference :37-40).
     Valid masks are (B, H, W, 1) boolean — channel-last counterpart of the
     reference's (B, 1, H, W).
+
+    valid_w: true image width under eval-shape bucketing. Padded QUERY rows
+    (index >= valid_w) still softmax to unit mass and would inject it into
+    the valid-mask column sums, flipping matched/unmatched pixels anywhere
+    in the image; exclude them from the sums.
     """
     cost_right2left, cost_left2right = costs
 
     att_right2left = jax.nn.softmax(cost_right2left, axis=-1)
     att_left2right = jax.nn.softmax(cost_left2right, axis=-1)
 
+    if valid_w is None:
+        row_keep = None
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, att_left2right.shape, 2)
+        row_keep = (row < valid_w).astype(att_left2right.dtype)
+
+    def colsum(att):
+        att = jax.lax.stop_gradient(att)
+        if row_keep is not None:
+            att = att * row_keep
+        return jnp.sum(att, axis=-2)
+
     # Column sums of the detached attention: how much each source column is
     # referenced; > 0.1 == matched (reference :34).
-    valid_mask_left = (
-        jnp.sum(jax.lax.stop_gradient(att_left2right), axis=-2) > 0.1
-    )[..., None]
+    valid_mask_left = (colsum(att_left2right) > 0.1)[..., None]
 
     if inference:
         return (att_right2left, att_left2right), (None, None), (valid_mask_left, None)
 
-    valid_mask_right = (
-        jnp.sum(jax.lax.stop_gradient(att_right2left), axis=-2) > 0.1
-    )[..., None]
+    valid_mask_right = (colsum(att_right2left) > 0.1)[..., None]
 
     att_left2right2left = jnp.einsum(
         "bhwv,bhvu->bhwu", att_right2left, att_left2right

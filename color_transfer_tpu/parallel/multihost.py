@@ -38,8 +38,16 @@ def initialize_distributed(
     if process_id is None:
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
 
-    if num_processes <= 1 or coordinator_address is None:
+    if num_processes <= 1:
         return 0, 1  # single-process: nothing to initialize
+    if coordinator_address is None:
+        # Never degrade an explicitly multi-process launch to N independent
+        # single-host runs (duplicate training, clobbered checkpoints).
+        raise ValueError(
+            f"num_processes={num_processes} requested but no coordinator "
+            "address given (set JAX_COORDINATOR_ADDRESS or pass "
+            "coordinator_address)"
+        )
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -66,7 +66,7 @@ class Trainer:
         steps_per_epoch = len(train_loader)
         num_train_steps = steps_per_epoch * self.max_epochs
 
-        sample = self._device_batch(next(iter(train_loader)), sharded=False)
+        sample = self._device_batch(train_loader.first_batch(), sharded=False)
         init_rng, rng = jax.random.split(rng)
         state = module.init_state(init_rng, sample, num_train_steps)
 
@@ -94,7 +94,8 @@ class Trainer:
             else:
                 start_epoch = int(meta.get("step") or 0) // max(steps_per_epoch, 1)
             # Keep the shuffle/augmentation stream aligned with an
-            # uninterrupted run.
+            # uninterrupted run (the shape probe above no longer consumes an
+            # epoch, so epoch e iterates with loader epoch e in both runs).
             train_loader._epoch = start_epoch
 
         params_sharding = replicated_sharding(self.mesh)
@@ -191,7 +192,7 @@ class Trainer:
                 continue
             max_scores[split] = psnr
             try:
-                batch = self._device_batch(next(iter(loader)), sharded=False)
+                batch = self._device_batch(loader.first_batch(), sharded=False)
                 if "target" not in batch:
                     batch = module.synthesize_targets(
                         batch, jax.random.fold_in(rng, idx)
