@@ -125,3 +125,31 @@ class TestDatasets:
         batches = list(loader)
         assert sum(b["gt"].shape[0] for b in batches) == 8
         assert batches[0]["gt"].shape[1:] == (8, 8, 3)
+
+    def test_first_batch_no_epoch_bump_no_thread_leak(self, tmp_path):
+        """first_batch is a synchronous probe: it must not advance the
+        seeded shuffle stream (next(iter(...)) did, shifting every epoch of
+        a resumed run) nor leave a producer thread blocked on its queue."""
+        import threading
+
+        _make_stereo_dir(tmp_path, n=4)
+        ds = datasets.ArtificialTrainValDataset(
+            tmp_path, crop_size=(8, 8), image_repeats=2
+        )
+        loader = datasets.Loader(ds, batch_size=3, shuffle=True, num_threads=2)
+
+        before = threading.active_count()
+        for _ in range(5):
+            b = loader.first_batch()
+            assert b["gt"].shape == (3, 8, 8, 3)
+        assert loader._epoch == 0
+        assert threading.active_count() == before
+
+        # The first real epoch is byte-identical to a probe-free loader's.
+        loader2 = datasets.Loader(
+            ds, batch_size=3, shuffle=True, num_threads=2
+        )
+        a = [np.asarray(b["gt"]) for b in loader]
+        b = [np.asarray(x["gt"]) for x in loader2]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
