@@ -49,7 +49,10 @@ _LAB_T0 = _LAB_DELTA**3  # 0.008856 threshold
 def srgb_to_linear(s):
     """sRGB electro-optical transfer function (gamma expand)."""
     s = jnp.asarray(s)
-    return jnp.where(s <= 0.04045, s / 12.92, ((s + 0.055) / 1.055) ** 2.4)
+    # Guard the fractional power: for s < -0.055 the unselected branch's
+    # base goes negative and its NaN poisons the where-VJP (0 * nan).
+    safe = jnp.maximum((s + 0.055) / 1.055, 1e-12)
+    return jnp.where(s <= 0.04045, s / 12.92, safe**2.4)
 
 
 def linear_to_srgb(l):  # noqa: E741

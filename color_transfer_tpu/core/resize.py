@@ -28,8 +28,10 @@ def _axis_resize_bilinear(x, out_size, axis, align_corners):
     if in_size == out_size:
         return x
     dst = jnp.arange(out_size, dtype=jnp.float32)
-    if align_corners and out_size > 1:
-        src = dst * (in_size - 1) / (out_size - 1)
+    if align_corners:
+        # out_size == 1: torch F.interpolate(align_corners=True) selects
+        # index 0 (NOT the half-pixel center the False formula would give).
+        src = dst * (in_size - 1) / max(out_size - 1, 1)
     else:
         scale = in_size / out_size
         src = jnp.clip((dst + 0.5) * scale - 0.5, 0.0, in_size - 1)

@@ -10,8 +10,6 @@ like the reference (reference pasmnet/utils.py:37-40) and is the hook for the
 Pallas fused row-attention path.
 """
 
-from dataclasses import field
-from typing import Any
 
 import jax
 import jax.numpy as jnp

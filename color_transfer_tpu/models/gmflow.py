@@ -373,17 +373,6 @@ def _window_offsets(radius, dtype=jnp.float32):
     return jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # ((2R+1)^2, 2) as (x, y)
 
 
-def _shift2d(x, dy, dx):
-    """Integer-shifted view with zero padding: out(p) = x(p + (dy, dx))."""
-    h, w = x.shape[1], x.shape[2]
-    padded = jnp.pad(
-        x,
-        ((0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0)),
-    )
-    y0, x0 = max(dy, 0), max(dx, 0)
-    return padded[:, y0 : y0 + h, x0 : x0 + w, :]
-
-
 def local_correlation_softmax(feature0, feature1, local_radius):
     """Windowed correlation softmax (reference matching.py:42-86).
 
@@ -706,6 +695,10 @@ class UniMatchFlow(nn.Module):
     ):
         """img0/img1: (B, H, W, 3) in [0, 255]. Returns the final flow
         ((B or 2B), H, W, 2); bidirectional output is [fwd x B, bwd x B]."""
+        if num_reg_refine < 1:
+            # The convex-upsample mask comes from the refinement loop (the
+            # reference asserts the same, unimatch/unimatch.py:276).
+            raise ValueError("num_reg_refine must be >= 1")
         img0 = (img0 / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
         img1 = (img1 / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
 

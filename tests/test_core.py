@@ -146,3 +146,35 @@ class TestLinalg:
         got = np.asarray(core.cov3(jnp.asarray(x)))
         want = np.cov(x.T)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestReviewRegressions:
+    def test_srgb_to_linear_grad_finite_below_gamut(self):
+        """s < -0.055 made the unselected power branch NaN and poisoned the
+        where-VJP (0 * nan): gradients through rgb_to_lab on unclipped
+        predictions must stay finite."""
+        import jax
+
+        from color_transfer_tpu.core import colorspace
+
+        g = jax.grad(lambda s: jnp.sum(colorspace.srgb_to_linear(s)))(
+            jnp.asarray([-0.1, 0.0, 0.02, 0.5])
+        )
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_resize_align_corners_out_size_one_torch_parity(self):
+        """torch F.interpolate(align_corners=True) with out=1 selects index
+        0, not the half-pixel center."""
+        import torch
+        import torch.nn.functional as F
+        from color_transfer_tpu.core.resize import resize_bilinear
+
+        x = np.random.RandomState(0).rand(1, 2, 4).astype(np.float32)
+        ours = resize_bilinear(jnp.asarray(x), (1, 4), align_corners=True)
+        theirs = F.interpolate(
+            torch.from_numpy(x)[None], size=(1, 4), mode="bilinear",
+            align_corners=True,
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), atol=1e-6
+        )
