@@ -78,8 +78,15 @@ class ArtificialTrainValDataset:
 
         ch, cw = self.crop_size
         h, w = self._image_hw(gt_path)
-        top = int(rng.integers(0, h - ch))
-        left = int(rng.integers(0, w - cw))
+        if h < ch or w < cw:
+            raise ValueError(
+                f"image {gt_path} is {h}x{w}, smaller than crop {ch}x{cw}"
+            )
+        # Inclusive upper bound: an image exactly crop-sized must not crash,
+        # and the bottom/right-most position must be reachable (torchvision
+        # RandomCrop semantics).
+        top = int(rng.integers(0, h - ch + 1))
+        left = int(rng.integers(0, w - cw + 1))
         # Cropped decode: PNG inflation stops at row top+ch.
         gt = native_loader.read_image_crop(gt_path, top, left, ch, cw)
         reference = native_loader.read_image_crop(ref_path, top, left, ch, cw)
@@ -192,19 +199,45 @@ class Loader:
 
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item):
+            # Responsive put: notice consumer shutdown instead of blocking
+            # forever on a full queue (early break / consumer crash).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs in batches:
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(_collate(items))
-            q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        if not put(_collate(items)):
+                            return
+            except BaseException as exc:  # noqa: BLE001
+                # Propagate decode/dataset errors to the consumer — a dead
+                # producer with no sentinel would deadlock q.get() silently.
+                put(exc)
+                return
+            put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            thread.join(timeout=10.0)

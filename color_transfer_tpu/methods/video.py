@@ -10,7 +10,7 @@ ring machinery needed).
 Two statistics modes:
   * per_frame (default) — each frame matched independently, the reference
     semantics of running the image method per frame;
-  * global — one set of color statistics from a reference frame subsample
+  * global — one set of color statistics from the first reference frame,
     applied to every frame (temporally stable for the global/linear methods).
 """
 
@@ -48,14 +48,9 @@ def color_transfer_between_videos(
     batch_size -= batch_size % n_dev
 
     if not per_frame:
-        # Single global transform: estimate on frame 0 pair, broadcast.
-        t0 = jnp.asarray(target_frames[0])
+        # Temporally stable mode: statistics come from the FIXED reference
+        # frame 0, applied to every target frame.
         r0 = jnp.asarray(reference_frames[0])
-
-        def global_fn(t, r):
-            del r
-            return fn(t, r0)  # statistics from the fixed reference frame
-
         mapped = jax.jit(jax.vmap(lambda t: jnp.clip(fn(t, r0), 0.0, 1.0)))
     else:
         mapped = jax.jit(jax.vmap(lambda t, r: jnp.clip(fn(t, r), 0.0, 1.0)))

@@ -74,17 +74,19 @@ def sharded_parallax_inference(mesh, q_l, k_r, v_r, q_r, k_l, scale,
     q_l, k_r, v_r, q_r, k_l = (
         jax.device_put(x, shard) for x in (q_l, k_r, v_r, q_r, k_l)
     )
+    # Module-level jit (scale static): a per-call closure would never hit
+    # the jit cache and recompile on every serving invocation.
+    return _sp_attention_compute(q_l, k_r, v_r, q_r, k_l, scale=scale)
 
-    @jax.jit
-    def compute(q_l, k_r, v_r, q_r, k_l):
-        att_r2l = jax.nn.softmax(
-            jnp.einsum("bhwc,bhvc->bhwv", q_l, k_r) * scale, axis=-1
-        )
-        att_l2r = jax.nn.softmax(
-            jnp.einsum("bhwc,bhvc->bhwv", q_r, k_l) * scale, axis=-1
-        )
-        warped = pasm.warp(v_r, att_r2l)
-        valid_mask_left = (jnp.sum(att_l2r, axis=-2) > 0.1)[..., None]
-        return warped, valid_mask_left
 
-    return compute(q_l, k_r, v_r, q_r, k_l)
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _sp_attention_compute(q_l, k_r, v_r, q_r, k_l, scale):
+    att_r2l = jax.nn.softmax(
+        jnp.einsum("bhwc,bhvc->bhwv", q_l, k_r) * scale, axis=-1
+    )
+    att_l2r = jax.nn.softmax(
+        jnp.einsum("bhwc,bhvc->bhwv", q_r, k_l) * scale, axis=-1
+    )
+    warped = pasm.warp(v_r, att_r2l)
+    valid_mask_left = (jnp.sum(att_l2r, axis=-2) > 0.1)[..., None]
+    return warped, valid_mask_left

@@ -73,7 +73,7 @@ def main(argv=None):
             from color_transfer_tpu.run.datamodule import to_float
             import jax.numpy as jnp
 
-            batch = to_float(next(iter(loader)))
+            batch = to_float(loader.first_batch())
             sample = {
                 k: jnp.asarray(v) for k, v in batch.items() if k != "distortion_idx"
             }
@@ -101,7 +101,7 @@ def main(argv=None):
         from color_transfer_tpu.run.datamodule import to_float
         import jax.numpy as _jnp
 
-        batch = to_float(next(iter(sample_loader)))
+        batch = to_float(sample_loader.first_batch())
         sample = {k: _jnp.asarray(v) for k, v in batch.items()}
         if "target" not in sample:
             sample["target"] = sample["gt"]

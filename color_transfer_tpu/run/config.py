@@ -82,9 +82,11 @@ def build_from_config(cfg, log_dir=None):
 
     data_cfg = cfg.get("data", {})
     data_args = dict(data_cfg.get("init_args", data_cfg if "class_path" not in data_cfg else {}))
-    data_args.pop("num_workers", None)  # accept the reference's knob name
-    if "num_workers" in data_cfg.get("init_args", {}):
-        data_args["num_workers"] = max(1, int(data_cfg["init_args"]["num_workers"]))
+    # Accept the reference's knob name in both config shapes (nested
+    # init_args and flat).
+    num_workers = data_args.pop("num_workers", None)
+    if num_workers is not None:
+        data_args["num_workers"] = max(1, int(num_workers))
     datamodule = DataModule(**data_args) if data_args.get("data_dir") else None
 
     trainer_cfg = dict(cfg.get("trainer", {}))

@@ -258,9 +258,23 @@ class Trainer:
         grid = distortions.setup_grid_distortions()
         bucketed = None
         if eval_buckets:
-            from color_transfer_tpu.run.bucketing import BucketedEvaluator
+            if not getattr(module, "supports_valid_w", False):
+                # Classical global-statistics methods compute means /
+                # covariances / histograms over the whole image: zero
+                # padding shifts every statistic toward black and corrupts
+                # the output inside the true region. Only modules that can
+                # mask the padded width (DCMCS3DI) may run bucketed.
+                import warnings
 
-            bucketed = BucketedEvaluator(module, multiple=eval_buckets)
+                warnings.warn(
+                    f"--eval_buckets ignored: module '{module.name}' cannot "
+                    "mask padded pixels; evaluating at native shapes",
+                    stacklevel=2,
+                )
+            else:
+                from color_transfer_tpu.run.bucketing import BucketedEvaluator
+
+                bucketed = BucketedEvaluator(module, multiple=eval_buckets)
         results = {}
         for idx, loader in enumerate(datamodule.test_loaders()):
             acc = MeanAccumulator()

@@ -165,13 +165,6 @@ def convert_dmsct(sd, decoder_channels=(256, 128, 64, 32)):
     return params, batch_stats
 
 
-def strip_lightning_prefix(state_dict):
-    """Lightning saves module params under their attribute names directly."""
-    return {
-        k: np.asarray(v) for k, v in state_dict.items() if not k.startswith("_")
-    }
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--kind", choices=["dcmcs3di", "dmsct"], required=True)

@@ -124,9 +124,12 @@ def process_sample(sample_dir, out_dir, rate=10, num_frames=7):
         left_c, gt_c, right_c = crop(left), crop(left_gt), crop(right)
         left_c = cv2.warpPerspective(left_c, h1, (left_c.shape[1], left_c.shape[0]))
         right_c = cv2.warpPerspective(right_c, h2, (right_c.shape[1], right_c.shape[0]))
-        # The reference re-applies the bbox crop after warping (its images
-        # are already cropped, so this truncates by (y, x) again —
-        # reference utils/postprocess.py:134-136); reproduced for parity.
+        # Reference quirks reproduced deliberately (the published dataset
+        # was built this way, reference utils/postprocess.py:121-136):
+        # the homographies are estimated on FULL frames but applied to the
+        # cropped ones without conjugating by the crop translation, and the
+        # bbox crop is re-applied after warping (truncating by (y, x)
+        # again). "Fixing" either would misalign us with the shipped data.
         left_c, gt_c, right_c = crop(left_c), crop(gt_c), crop(right_c)
 
         aligned = np.asarray(

@@ -153,3 +153,46 @@ class TestDatasets:
         b = [np.asarray(x["gt"]) for x in loader2]
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+    def test_loader_propagates_dataset_errors(self, tmp_path):
+        """A failing dataset item must raise in the consumer, not deadlock
+        the training loop on a queue whose producer died silently."""
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise RuntimeError("corrupt item")
+                return {"gt": np.zeros((4, 4, 3), np.float32)}
+
+        import pytest
+
+        loader = datasets.Loader(Bad(), batch_size=2, num_threads=2)
+        with pytest.raises(RuntimeError, match="corrupt item"):
+            list(loader)
+
+    def test_loader_early_break_shuts_down_producer(self, tmp_path):
+        import threading
+        import time as _time
+
+        _make_stereo_dir(tmp_path, n=8)
+        ds = datasets.ArtificialTrainValDataset(
+            tmp_path, crop_size=(8, 8), image_repeats=4
+        )
+        before = threading.active_count()
+        for _ in range(4):
+            for batch in datasets.Loader(ds, batch_size=1, prefetch=1):
+                break  # max_batches-style early exit
+        _time.sleep(0.5)
+        assert threading.active_count() <= before + 1
+
+    def test_crop_exact_size_image(self, tmp_path):
+        """An image exactly crop-sized must be croppable (inclusive upper
+        bound, torchvision RandomCrop semantics)."""
+        _make_stereo_dir(tmp_path, n=1, h=40, w=60)
+        ds = datasets.ArtificialTrainValDataset(
+            tmp_path, crop_size=(40, 60), image_repeats=1
+        )
+        item = ds[0]
+        assert item["gt"].shape == (40, 60, 3)
