@@ -4,9 +4,10 @@ TPU-first re-design of the reference's Pitié et al. methods
 (reference methods/iterative.py). Key transformations:
 
   * The per-iteration random SO(3) rotation (reference :32 uses
-    scipy.stats.special_ortho_group) becomes a batch of Haar-orthogonal
-    matrices from ``jax.random.orthogonal`` with determinant fixed to +1 —
-    statistically equivalent, seeded and reproducible.
+    scipy.stats.special_ortho_group) becomes a batch of Haar rotations
+    built by modified Gram-Schmidt over Gaussian columns (det +1 via cross
+    product) — statistically equivalent, seeded and reproducible, and
+    orthogonal to f32 precision (see ``random_rotations``).
   * The per-axis histogram/CDF/interp inner loop (reference :38-53) is
     vmapped over the 3 rotated axes and scanned over the n_iter rotations
     with ``lax.scan`` — one fused XLA program instead of 12 NumPy passes.
