@@ -20,6 +20,7 @@ A thread-pool ``Loader`` overlaps decode with device compute.
 
 import threading
 import queue
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -178,6 +179,11 @@ class Loader:
         would abandon the producer thread blocked on its queue (leaking the
         thread pool and prefetched batches) and advance the epoch counter,
         perturbing the seeded shuffle stream."""
+        if len(self.dataset) == 0:
+            raise ValueError(
+                "cannot probe an empty dataset (no items matched the data "
+                "glob — check data_dir)"
+            )
         idxs = range(min(self.batch_size, len(self.dataset)))
         return _collate([self.dataset[i] for i in idxs])
 
@@ -241,3 +247,11 @@ class Loader:
         finally:
             stop.set()
             thread.join(timeout=10.0)
+            if thread.is_alive():
+                warnings.warn(
+                    "Loader producer thread did not exit within 10 s (a "
+                    "dataset item is likely hung in decode); its worker "
+                    "pool leaks until process exit",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )

@@ -288,6 +288,13 @@ def iterative_distribution_transfer(
     target/reference: (H, W, 3) in [0, 1] (any shape (..., 3) works).
     Matches reference methods/iterative.py:8-59 with a seeded rotation set.
     """
+    if bins > _SPLIT * _SPLIT:
+        # The MXU one-hot decomposition covers indices < 16*16; larger bin
+        # counts would silently drop samples from the histograms.
+        raise ValueError(
+            f"bins must be <= {_SPLIT * _SPLIT} (got {bins}): the histogram/"
+            "table kernels decompose bin indices into two 16-way one-hots"
+        )
     if key is None:
         key = jax.random.PRNGKey(42)
     shape = target.shape

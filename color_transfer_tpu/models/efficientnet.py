@@ -2,9 +2,13 @@
 
 DMSCT's trainable corrector uses segmentation_models_pytorch's
 ``get_encoder("efficientnet-b2", depth=4, weights=None)`` (reference
-methods/dmsct.py:34-38) — an *untrained* encoder (configs/dmsct.yaml:7), so
-only architectural parity matters here: feature maps at reductions
-(1, 2, 4, 8, 16) with channels (3, 16, 24, 48, 120) for b2/depth-4.
+methods/dmsct.py:34-38) — an *untrained* encoder (configs/dmsct.yaml:7), but
+architectural parity still matters for porting the published DMSCT
+checkpoint: feature maps at reductions (1, 2, 4, 8, 16) with channels
+(3, 32, 24, 48, 120) for b2/depth-4. Note the reduction-2 feature is the
+**32-ch stem output** (smp's ``get_stages()`` stage 1 is
+``_conv_stem + _bn0 + swish``), NOT the 16-ch stage-0 MBConv output — the
+stage-0 blocks run (they feed the reduction-4 path) but are not tapped.
 
 Standard EfficientNet ingredients: MBConv with expansion, depthwise conv,
 squeeze-excite (ratio 0.25 of the block's input filters), BatchNorm
@@ -51,12 +55,17 @@ def round_repeats(repeats, depth):
 
 
 def encoder_out_channels(name="efficientnet-b2", depth=4):
-    """smp-compatible out_channels tuple, e.g. b2/depth4 -> (3,16,24,48,120)."""
+    """smp-compatible out_channels tuple, e.g. b2/depth4 -> (3,32,24,48,120).
+
+    Matches smp's encoders table (b2: (3, 32, 24, 48, 120, 352)): the
+    reduction-2 entry is the stem width, not stage-0's MBConv width.
+    """
     width, _ = _COEFFS[name]
     stage_out = [round_filters(s[3], width) for s in _B0_STAGES]
-    # reductions: input, 1/2 (stage0), 1/4 (stage1), 1/8 (stage2),
+    # reductions: input, 1/2 (stem), 1/4 (stage1), 1/8 (stage2),
     # 1/16 (stage4), 1/32 (stage6)
-    channels = (3, stage_out[0], stage_out[1], stage_out[2], stage_out[4], stage_out[6])
+    stem = round_filters(32, width)
+    channels = (3, stem, stage_out[1], stage_out[2], stage_out[4], stage_out[6])
     return channels[: depth + 1]
 
 
@@ -143,12 +152,19 @@ class EfficientNetEncoder(nn.Module):
                     use_bias=False, name="stem_conv")(x)
         y = _BN(not train, name="stem_bn")(y)
         y = nn.silu(y)
+        # smp taps the stem output as the reduction-2 feature
+        # (get_stages() stage 1 = _conv_stem + _bn0 + _swish).
+        if self.depth >= 1:
+            features.append(y)
+
+        if len(features) == self.depth + 1:
+            return features
 
         total_blocks = sum(round_repeats(s[4], depth_c) for s in _B0_STAGES)
         block_idx = 0
         in_filters = stem
-        # Feature taps after stages 0, 1, 2, 4, 6 (reductions 2,4,8,16,32).
-        taps = {0: 1, 1: 2, 2: 3, 4: 4, 6: 5}
+        # Feature taps after stages 1, 2, 4, 6 (reductions 4, 8, 16, 32).
+        taps = {1: 2, 2: 3, 4: 4, 6: 5}
 
         for stage_idx, (k, s, e, base_out, base_r) in enumerate(_B0_STAGES):
             out_filters = round_filters(base_out, width)

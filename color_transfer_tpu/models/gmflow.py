@@ -413,10 +413,16 @@ def local_correlation_softmax(feature0, feature1, local_radius):
 
 
 def local_correlation_with_flow(
-    feature0, feature1, flow, local_radius, corr_dtype=jnp.bfloat16
+    feature0, feature1, flow, local_radius, corr_dtype=jnp.bfloat16, impl=None
 ):
     """Windowed correlation at flow-displaced positions, no softmax — feeds
     the GRU refiner (reference matching.py:89-126).
+
+    impl: "pallas" (VMEM-resident patch extraction, see ops/local_corr.py —
+    no HBM gather descriptors), "xla" (row-gather scan below), or None to
+    pick pallas on TPU. The matcher is frozen/inference-only in every
+    caller (reference methods/dmsct.py:31-32), so the kernel path needs no
+    VJP; pass impl="xla" if differentiating through GMFlow.
 
     TPU re-design: all K^2 window positions share one bilinear phase (the
     offsets are integers), so ONE (2r+3)^2-patch gather per pixel fetches the
@@ -436,6 +442,17 @@ def local_correlation_with_flow(
     chunks bounds the gathered buffer to O(B*chunk*k^2*C) (the unchunked
     variant OOMs at training batch sizes).
     """
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from color_transfer_tpu.ops.local_corr import (
+            local_correlation_with_flow_pallas,
+        )
+
+        return local_correlation_with_flow_pallas(
+            feature0, feature1, flow, local_radius, corr_dtype=corr_dtype
+        )
+
     b, h, w, c = feature0.shape
     r = local_radius
     k = 2 * r + 3  # window plus the +1 bilinear corner on each side

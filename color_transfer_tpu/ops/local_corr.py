@@ -1,0 +1,160 @@
+"""Pallas kernel for flow-displaced local correlation (the GRU-loop wall).
+
+Reference op: unimatch/matching.py:89-126 ``local_correlation_with_flow`` —
+for every pixel p, correlate feature0[p] against a (2r+1)^2 window of
+feature1 sampled bilinearly at ``p + flow[p] + offset``.
+
+Why a kernel: the XLA formulation is a gather of (1, k, C) rows per pixel
+per window row. On TPU that cost is bound by the number of contiguous
+memory runs the gather issues (B*HW*k runs at ~45 ns each — measured, see
+PERF.md), NOT by bytes: ~93 ms/iteration at DMSCT's training shape, 77% of
+the frozen matcher's step time across the 6 GRU iterations.
+
+Schedule: the whole zero-padded feature1 image is DMA'd into VMEM once per
+batch index (its BlockSpec index map is constant across the pixel-block
+grid axis, so Pallas re-uses the resident copy), and each pixel's
+(k, k, C) patch is then read straight out of VMEM at vector-load speed —
+no HBM gather descriptors at all. The bilinear fractional interpolation is
+applied OUTSIDE the kernel on the (k, k) correlation grid (all window taps
+share one bilinear phase because the offsets are integers), identical to
+the XLA path, so the kernel stays a pure integer-window dot.
+
+Exactness: arbitrary flows are handled by the same clamp-into-the-padding
+-band trick as the XLA path — positions further than (r+2) outside the
+image read zeros either way, so clamping them into the zero band is
+value-identical to torch grid_sample's zeros padding.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _extract_kernel(starts_ref, f0_ref, f1_ref, out_ref, *, k, wp, p_blk):
+    """One (batch, pixel-block) grid step.
+
+    starts_ref: (1, 1, 8, p_blk//8) int32 in SMEM — packed ry * wp + rx
+      patch starts into the padded feature1 image (scalar reads must come
+      from SMEM; the 4D shape keeps the trailing block dims equal to the
+      array dims, which Mosaic's block-mapping rules require).
+    f0_ref: (1, p_blk, C) VMEM — feature0 pixels for this block.
+    f1_ref: (1, Hp, Wp, C) VMEM — the full padded feature1 image; constant
+      index map across the block axis keeps it resident.
+    out_ref: (1, p_blk, k, k) f32 — raw window dots (no bilinear, no scale).
+
+    The per-pixel dynamic window read stays off the lane axis: the (k, k)
+    spatial offsets index the leading/sublane axes of f1_ref and the channel
+    axis is a full lane slice — lane-dynamic VMEM addressing does not
+    compile on Mosaic (see core/sampling.py).
+    """
+    cols = p_blk // 8
+
+    def body(p, carry):
+        s = starts_ref[0, 0, p // cols, p % cols]
+        ry = s // wp
+        rx = s - ry * wp
+        patch = f1_ref[0, pl.ds(ry, k), pl.ds(rx, k), :]  # (k, k, C)
+        f0p = f0_ref[0, pl.ds(p, 1), :]  # (1, C)
+        prod = patch.astype(jnp.float32) * f0p[None].astype(jnp.float32)
+        out_ref[0, pl.ds(p, 1)] = jnp.sum(prod, axis=-1)[None]
+        return carry
+
+    jax.lax.fori_loop(0, p_blk, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("local_radius", "corr_dtype", "p_blk", "interpret")
+)
+def local_correlation_with_flow_pallas(
+    feature0,
+    feature1,
+    flow,
+    local_radius,
+    corr_dtype=jnp.bfloat16,
+    p_blk=256,
+    interpret=False,
+):
+    """Drop-in replacement for the XLA ``local_correlation_with_flow``
+    (models/gmflow.py) — same inputs, same (B, H, W, (2r+1)^2) output, same
+    zeros-padding/bilinear semantics, f32 accumulation."""
+    b, h, w, c = feature0.shape
+    r = local_radius
+    k = 2 * r + 3  # window plus one bilinear corner each side
+    pad = 2 * r + 4
+    hp, wp = h + 2 * pad, w + 2 * pad
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
+        indexing="ij",
+    )
+    bx = jnp.clip(xs[None] + flow[..., 0], -(r + 2.0), w + r + 1.0)
+    by = jnp.clip(ys[None] + flow[..., 1], -(r + 2.0), h + r + 1.0)
+    x0 = jnp.floor(bx)
+    y0 = jnp.floor(by)
+    wx = (bx - x0).reshape(b, h * w, 1, 1)
+    wy = (by - y0).reshape(b, h * w, 1, 1)
+    starts = (
+        (y0.astype(jnp.int32) - r + pad) * wp + (x0.astype(jnp.int32) - r + pad)
+    ).reshape(b, h * w)
+
+    f1p = jnp.pad(
+        feature1.astype(corr_dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    )
+    f0 = feature0.astype(corr_dtype).reshape(b, h * w, c)
+
+    n = h * w
+    n_pad = -(-n // p_blk) * p_blk
+    if n_pad != n:
+        # Padding pixels read the zero band at start 0 — harmless garbage
+        # dots, cropped below.
+        starts = jnp.pad(starts, ((0, 0), (0, n_pad - n)))
+        f0 = jnp.pad(f0, ((0, 0), (0, n_pad - n), (0, 0)))
+    blocks = n_pad // p_blk
+    starts = starts.reshape(b, blocks, 8, p_blk // 8)
+
+    dots = pl.pallas_call(
+        functools.partial(_extract_kernel, k=k, wp=wp, p_blk=p_blk),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, k, k), jnp.float32),
+        grid=(b, blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 8, p_blk // 8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, p_blk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hp, wp, c), lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, p_blk, k, k), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        # The resident f1 image (double-buffered by the pipeline) dominates
+        # VMEM; at the 512x896 matcher cap's 1/4 scale it is ~18 MB in f32.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(starts, f0, f1p)
+
+    dots = dots[:, :n]  # (B, HW, k, k)
+    d00 = dots[:, :, :-1, :-1]
+    d01 = dots[:, :, :-1, 1:]
+    d10 = dots[:, :, 1:, :-1]
+    d11 = dots[:, :, 1:, 1:]
+    interp = (
+        d00 * (1 - wy) * (1 - wx)
+        + d01 * (1 - wy) * wx
+        + d10 * wy * (1 - wx)
+        + d11 * wy * wx
+    )
+    corr = interp[:, :, : 2 * r + 1, : 2 * r + 1]
+    return corr.reshape(b, h, w, (2 * r + 1) ** 2) / math.sqrt(c)

@@ -81,17 +81,27 @@ def main(argv=None):
                 sample["target"] = sample["gt"]
             break
         state = module.init_state(jax.random.PRNGKey(0), sample)
-        target = {"params": state.params, "opt_state": state.opt_state}
-        if getattr(state, "batch_stats", None):
-            target["batch_stats"] = state.batch_stats
-        restored, _ = load_checkpoint(args.ckpt_path, target=target)
-        if "batch_stats" in restored:
-            params = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
+        if state is None:
+            # Parameterless module (classical): nothing to restore into.
+            import warnings
+
+            warnings.warn(
+                f"--ckpt_path ignored: module '{module.name}' is "
+                "parameterless",
+                stacklevel=1,
+            )
         else:
-            params = restored["params"]
+            target = {"params": state.params, "opt_state": state.opt_state}
+            if getattr(state, "batch_stats", None):
+                target["batch_stats"] = state.batch_stats
+            restored, _ = load_checkpoint(args.ckpt_path, target=target)
+            if "batch_stats" in restored:
+                params = {
+                    "params": restored["params"],
+                    "batch_stats": restored["batch_stats"],
+                }
+            else:
+                params = restored["params"]
 
     if args.subcommand == "validate":
         # Run the validation loaders against a restored (or fresh) state.
@@ -106,11 +116,12 @@ def main(argv=None):
         if "target" not in sample:
             sample["target"] = sample["gt"]
         state = module.init_state(_jax.random.PRNGKey(0), sample)
-        if params is not None:
+        if params is not None and state is not None:
             if isinstance(params, dict) and "params" in params:
-                state = state.replace(
-                    params=params["params"], batch_stats=params["batch_stats"]
-                )
+                replacements = {"params": params["params"]}
+                if hasattr(state, "batch_stats"):
+                    replacements["batch_stats"] = params["batch_stats"]
+                state = state.replace(**replacements)
             else:
                 state = state.replace(params=params)
         results = trainer.validate(

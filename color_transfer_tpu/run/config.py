@@ -77,7 +77,9 @@ def build_from_config(cfg, log_dir=None):
 
     model_cfg = cfg.get("model", {})
     module = build_module(
-        model_cfg.get("class_path", "classical"), model_cfg.get("init_args", {})
+        model_cfg.get("class_path", "classical"),
+        model_cfg.get("init_args", {}),
+        seed=cfg.get("seed_everything", 42),
     )
 
     data_cfg = cfg.get("data", {})

@@ -146,6 +146,14 @@ class DCMCS3DIModule:
         logs.update(quality_metrics(out[0], batch["gt"], "", self.heavy_metrics))
         return logs
 
+    def init_eval_variables(self, rng, sample_batch):
+        """Fresh-init eval variables — `test` without a checkpoint must run
+        from random init like the reference does, not crash."""
+        variables = jax.jit(self.model.init)(
+            rng, sample_batch["target"], sample_batch["reference"]
+        )
+        return variables["params"]
+
     @functools.partial(jax.jit, static_argnums=0)
     def eval_forward(self, params, batch):
         out, _ = self.model.apply(
@@ -192,10 +200,25 @@ class ClassicalModule:
 
     name = "classical"
 
-    def __init__(self, func_spec="monge_kantorovitch"):
+    def __init__(self, func_spec="monge_kantorovitch", seed=42):
+        import inspect
+
         self.func_spec = func_spec
+        self.seed = seed
         self.fn = methods.get_method(func_spec)
-        self._batched = jax.jit(jax.vmap(self.fn))
+        # Stochastic methods (IDT/grading draw random SO(3) rotations,
+        # reference methods/iterative.py:32) get a per-image key derived
+        # from the config seed and a host-side call counter — matching the
+        # reference's fresh-per-image global-RNG draws instead of one fixed
+        # rotation set shared across every image of every batch.
+        self._takes_key = "key" in inspect.signature(self.fn).parameters
+        if self._takes_key:
+            self._batched = jax.jit(
+                jax.vmap(lambda t, r, k: self.fn(t, r, key=k))
+            )
+        else:
+            self._batched = jax.jit(jax.vmap(self.fn))
+        self._call_count = 0
         self.hparams = {"func_spec": func_spec}
 
     def init_state(self, rng, sample_batch, num_train_steps=None):
@@ -213,7 +236,17 @@ class ClassicalModule:
 
     def eval_forward(self, params, batch):
         del params
-        return jnp.clip(self._batched(batch["target"], batch["reference"]), 0.0, 1.0)
+        if self._takes_key:
+            b = batch["target"].shape[0]
+            base = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), self._call_count
+            )
+            self._call_count += 1
+            keys = jax.random.split(base, b)
+            out = self._batched(batch["target"], batch["reference"], keys)
+        else:
+            out = self._batched(batch["target"], batch["reference"])
+        return jnp.clip(out, 0.0, 1.0)
 
     def eval_metrics(self, out, gt):
         return quality_metrics(out, gt, "", True)
@@ -364,6 +397,18 @@ class DMSCTModule:
         logs.update(quality_metrics(result, batch["gt"], "", self.heavy_metrics))
         return logs
 
+    def init_eval_variables(self, rng, sample_batch):
+        p_rng, d_rng = jax.random.split(rng)
+        variables = jax.jit(self.model.init)(
+            {"params": p_rng, "dropout": d_rng},
+            sample_batch["target"],
+            sample_batch["reference"],
+        )
+        return {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+
     @functools.partial(jax.jit, static_argnums=0)
     def eval_forward(self, variables, batch):
         return self.model.apply(variables, batch["target"], batch["reference"])
@@ -418,9 +463,22 @@ MODULE_REGISTRY = {
 }
 
 
-def build_module(class_path, init_args=None):
+def build_module(class_path, init_args=None, seed=None):
+    import inspect
+
     if class_path not in MODULE_REGISTRY:
         raise KeyError(
             f"unknown module {class_path!r}; known: {sorted(MODULE_REGISTRY)}"
         )
-    return MODULE_REGISTRY[class_path](**(init_args or {}))
+    cls = MODULE_REGISTRY[class_path]
+    kwargs = dict(init_args or {})
+    # Thread the config's seed_everything into modules that draw randomness
+    # at eval time (ClassicalModule's IDT/grading rotations) unless the
+    # config pins one explicitly.
+    if (
+        seed is not None
+        and "seed" not in kwargs
+        and "seed" in inspect.signature(cls.__init__).parameters
+    ):
+        kwargs["seed"] = seed
+    return cls(**kwargs)

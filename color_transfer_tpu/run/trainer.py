@@ -256,6 +256,23 @@ class Trainer:
         (run/bucketing.py; SURVEY.md §7 hard part #5). None = native shapes.
         """
         grid = distortions.setup_grid_distortions()
+        if params is None and hasattr(module, "init_eval_variables"):
+            # `test` without --ckpt_path on a deep module runs from random
+            # init (the reference does; Lightning restores nothing either).
+            sample = None
+            for loader in datamodule.test_loaders():
+                sample = self._device_batch(
+                    {k: v for k, v in loader.first_batch().items()
+                     if k != "distortion_idx"},
+                    sharded=False,
+                )
+                break
+            if sample is not None:
+                if "target" not in sample:
+                    sample = {**sample, "target": sample["gt"]}
+                params = module.init_eval_variables(
+                    jax.random.PRNGKey(self.seed), sample
+                )
         bucketed = None
         if eval_buckets:
             if not getattr(module, "supports_valid_w", False):

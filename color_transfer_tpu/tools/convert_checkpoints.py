@@ -106,8 +106,12 @@ def convert_efficientnet(sd, prefix="encoder", name_variant="efficientnet-b2",
     params["stem_bn"], stats["stem_bn"] = _bn(sd, f"{prefix}._bn0")
 
     flat = 0
-    produced = 1  # features produced so far (input counts as the first)
-    taps = {0: 1, 1: 2, 2: 3, 4: 4, 6: 5}
+    # Features produced so far: input + the stem tap (smp's reduction-2
+    # feature is the stem output — see models/efficientnet.py).
+    produced = 2
+    taps = {1: 2, 2: 3, 4: 4, 6: 5}
+    if produced == depth + 1:
+        return params, stats
     for stage_idx, (k, s, e, base_out, base_r) in enumerate(_B0_STAGES):
         repeats = round_repeats(base_r, depth_c)
         for r in range(repeats):

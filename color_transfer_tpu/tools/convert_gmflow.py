@@ -76,9 +76,16 @@ def _transformer_layer(sd, prefix, with_ffn):
     return out
 
 
-def convert_state_dict(sd, num_layers=6):
+def convert_state_dict(sd, num_layers=None):
     """torch GMFlow state_dict (numpy values) -> flax params for
-    models.gmflow.GMFlow ({'core': {...}})."""
+    models.gmflow.GMFlow ({'core': {...}}). num_layers is inferred from the
+    ``transformer.layers.N`` keys when not given."""
+    if num_layers is None:
+        num_layers = 1 + max(
+            int(k.split(".")[2])
+            for k in sd
+            if k.startswith("transformer.layers.")
+        )
     backbone = {
         "conv1": {"kernel": _conv(sd["backbone.conv1.weight"])},
         "conv2": _conv_mod(sd, "backbone.conv2"),

@@ -12,8 +12,11 @@ from color_transfer_tpu.run.modules import DMSCTModule
 
 class TestEfficientNet:
     def test_b2_channel_plan(self):
-        assert encoder_out_channels("efficientnet-b2", 4) == (3, 16, 24, 48, 120)
-        assert encoder_out_channels("efficientnet-b2", 5) == (3, 16, 24, 48, 120, 352)
+        # smp's encoders table for efficientnet-b2: (3, 32, 24, 48, 120, 352)
+        # — reduction 2 is the 32-ch STEM output, not stage-0's 16-ch MBConv.
+        assert encoder_out_channels("efficientnet-b2", 4) == (3, 32, 24, 48, 120)
+        assert encoder_out_channels("efficientnet-b2", 5) == (3, 32, 24, 48, 120, 352)
+        assert encoder_out_channels("efficientnet-b0", 5) == (3, 32, 24, 40, 112, 320)
 
     def test_feature_pyramid_shapes(self, rng):
         enc = EfficientNetEncoder(depth=4)
@@ -23,11 +26,25 @@ class TestEfficientNet:
         shapes = [f.shape for f in feats]
         assert shapes == [
             (1, 32, 48, 3),
-            (1, 16, 24, 16),
+            (1, 16, 24, 32),
             (1, 8, 12, 24),
             (1, 4, 6, 48),
             (1, 2, 3, 120),
         ]
+
+    def test_decoder_skip_channels_match_smp(self, rng):
+        """Decoder block input channels must follow smp's (2C+1) skip plan:
+        [241+97, 256+49, 128+65, 64+7] for b2/depth4 with (256,128,64,32)
+        (reference methods/dmsct.py:40-51). The 65 = 2*32+1 entry is the one
+        the stem tap controls."""
+        model = DMSCT(matcher_num_layers=1, matcher_num_reg_refine=1)
+        t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, t, t
+        )
+        dec = variables["params"]["decoder"]
+        got = [dec[f"block{i}"]["conv1"]["kernel"].shape[2] for i in range(4)]
+        assert got == [241 + 97, 256 + 49, 128 + 65, 64 + 7]
 
     def test_batch_stats_updated_in_train(self, rng):
         enc = EfficientNetEncoder(depth=2)
