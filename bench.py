@@ -98,8 +98,44 @@ def bench_dmsct(iters=6):
     return 1.0 / ((time.perf_counter() - start) / iters)
 
 
+def check_idt_kernel_integrity():
+    """Compiled-vs-interpret equality of the IDT transport-apply kernel at
+    its PINNED 32-sublane block size on the real chip. The kernel is pinned
+    because >=64-sublane blocks miscompile (0.04% wrong lanes — see
+    tools/mosaic_repro.py); this guards against the pin silently regressing
+    with a toolchain update."""
+    from color_transfer_tpu.methods.iterative import _apply_tables_pallas
+
+    rng = np.random.default_rng(7)
+    d0 = jnp.asarray(rng.normal(size=(3, 32 * 128 * 4)).astype(np.float32))
+    grid_lo = jnp.asarray([-3.0, -2.5, -3.5])
+    step = jnp.asarray([0.02, 0.025, 0.03])
+    fp = jnp.asarray(
+        np.sort(rng.normal(size=(3, 255)), axis=1).astype(np.float32) * 50
+    )
+    right_edge = grid_lo + step * 254
+
+    compiled = np.asarray(
+        jax.jit(_apply_tables_pallas)(d0, grid_lo, step, fp, right_edge)
+    )
+    interp = np.asarray(
+        _apply_tables_pallas(d0, grid_lo, step, fp, right_edge, interpret=True)
+    )
+    bad = np.abs(compiled - interp) > 1e-4
+    assert not bad.any(), (
+        f"IDT apply kernel compiled/interpret divergence: {bad.mean():.5%} "
+        "of elements — the Mosaic one-hot miscompile may have spread to the "
+        "pinned 32-sublane size (tools/mosaic_repro.py)"
+    )
+    print("[bench] idt kernel integrity: compiled == interpret", file=sys.stderr)
+
+
 def main():
     results = {}
+    try:
+        check_idt_kernel_integrity()
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] IDT KERNEL INTEGRITY FAILURE: {e}", file=sys.stderr)
     for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
         try:
             results[name] = bench_classical(name)

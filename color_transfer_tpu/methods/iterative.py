@@ -337,8 +337,11 @@ def _shift_left(a):  # last_pad_1
     return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
 
 
-def _solve(img_out, img_in, img_col, nbit, level, eps=1e-6, rho=1.0 / 5.0):
-    """Gradient-preserving fixed-point sweep (reference methods/iterative.py:80-115)."""
+def _solve_invariants(img_in, img_col, level, eps=1e-6, rho=1.0 / 5.0):
+    """The sweep's loop-invariant fields (reference methods/iterative.py:80-105):
+    edge-adaptive weights phi1..4, the folded constant term and the damped
+    inverse denominator. Hoisted out of the Jacobi loop — the sweeps are
+    HBM-bound and this nearly halves per-sweep arithmetic and read traffic."""
     delta_x = _shift_left(img_in) - _shift_right(img_in)
     delta_y = _shift_up(img_in) - _shift_down(img_in)
     delta = jnp.sqrt((delta_x**2 + delta_y**2).sum(axis=2, keepdims=True))
@@ -353,9 +356,6 @@ def _solve(img_out, img_in, img_col, nbit, level, eps=1e-6, rho=1.0 / 5.0):
 
     den = psi + phi1 + phi2 + phi3 + phi4 + eps
 
-    # Everything not involving ``out`` is loop-invariant: hoist it out of
-    # the Jacobi sweep (the sweeps are HBM-bound; this nearly halves the
-    # per-sweep arithmetic and read traffic).
     const = (
         psi * img_col
         + phi1 * (img_in - _shift_left(img_in))
@@ -363,7 +363,33 @@ def _solve(img_out, img_in, img_col, nbit, level, eps=1e-6, rho=1.0 / 5.0):
         + phi3 * (img_in - _shift_right(img_in))
         + phi4 * (img_in - _shift_down(img_in))
     )
-    inv_den_damped = (1.0 - rho) / den
+    return const, (phi1, phi2, phi3, phi4), (1.0 - rho) / den
+
+
+def _solve(img_out, img_in, img_col, nbit, level, eps=1e-6, rho=1.0 / 5.0):
+    """Gradient-preserving fixed-point sweep (reference methods/iterative.py:80-115)."""
+    const, (phi1, phi2, phi3, phi4), inv_den_damped = _solve_invariants(
+        img_in, img_col, level, eps=eps, rho=rho
+    )
+
+    # The sweeps carry no data besides these loop-invariants, so the whole
+    # level can run as ONE Pallas launch with every array VMEM-resident
+    # (ops/regrain_stencil.py) — the XLA path dispatches nbit separate
+    # programs, which dominates at the small pyramid levels where most of
+    # the (4,16,32,64,64,64) sweep budget lives.
+    from color_transfer_tpu.ops.regrain_stencil import (
+        level_fits_vmem,
+        regrain_sweeps_pallas,
+    )
+
+    h, w, _ = img_in.shape
+    if jax.default_backend() == "tpu" and level_fits_vmem(h, w):
+        phis = jnp.stack(
+            [phi1[..., 0], phi2[..., 0], phi3[..., 0], phi4[..., 0]]
+        )
+        return regrain_sweeps_pallas(
+            img_out, const, phis, inv_den_damped[..., 0], nbit, rho=rho
+        )
 
     def sweep(_, out):
         num = (

@@ -1,17 +1,23 @@
 """Video color transfer — batched/sharded frame processing.
 
 The public video entry point (``color_transfer_between_videos``): apply any
-registered method to a stereo video clip. Frames are independent work items,
-so the pipeline is vmap over a frame batch + sharding of the frame axis
-across the device mesh — the distributed serving path this framework is
-designed around (SURVEY.md §2.8: each frame/row is trivially parallel; no
-ring machinery needed).
+registered method OR a deep corrector to a stereo video clip. Frames are
+independent work items, so the pipeline is vmap over a frame batch +
+sharding of the frame axis across the device mesh — the distributed serving
+path this framework is designed around (SURVEY.md §2.8: each frame/row is
+trivially parallel; no ring machinery needed).
 
-Two statistics modes:
+Two statistics modes for classical methods:
   * per_frame (default) — each frame matched independently, the reference
     semantics of running the image method per frame;
   * global — one set of color statistics from the first reference frame,
     applied to every frame (temporally stable for the global/linear methods).
+
+Deep serving (reference demo.ipynb cells 24/26 run the correctors one image
+at a time): pass ``method="dcmcs3di"`` / ``"dmsct"`` with ``ckpt_path`` (an
+orbax checkpoint saved by this framework's Trainer) or prebuilt
+``module``/``variables`` — frames run through the jitted ``eval_forward``
+sharded over the 'data' axis.
 """
 
 import jax
@@ -19,6 +25,35 @@ import jax.numpy as jnp
 
 from color_transfer_tpu import methods
 from color_transfer_tpu.parallel import create_mesh, shard_batch
+
+DEEP_METHODS = ("dcmcs3di", "dmsct")
+
+
+def _build_deep(method, ckpt_path, module, variables, module_kwargs, sample):
+    """Resolve (module, variables) for a deep method: prebuilt > checkpoint >
+    random init (mirrors Trainer.test's no-checkpoint behavior)."""
+    from color_transfer_tpu.run.modules import build_module
+
+    if module is None:
+        module = build_module(method, module_kwargs or {})
+    if variables is None and ckpt_path is not None:
+        from color_transfer_tpu.run.checkpoint import load_checkpoint
+
+        state = module.init_state(jax.random.PRNGKey(0), sample)
+        target = {"params": state.params, "opt_state": state.opt_state}
+        if getattr(state, "batch_stats", None):
+            target["batch_stats"] = state.batch_stats
+        restored, _ = load_checkpoint(ckpt_path, target=target)
+        if "batch_stats" in restored:
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+        else:
+            variables = restored["params"]
+    if variables is None:
+        variables = module.init_eval_variables(jax.random.PRNGKey(0), sample)
+    return module, variables
 
 
 def color_transfer_between_videos(
@@ -28,32 +63,52 @@ def color_transfer_between_videos(
     batch_size=8,
     mesh=None,
     per_frame=True,
+    ckpt_path=None,
+    module=None,
+    variables=None,
+    module_kwargs=None,
 ):
     """Transfer color from reference_frames onto target_frames.
 
     Args:
       target_frames / reference_frames: (T, H, W, 3) float arrays in [0, 1]
         (numpy or jax; processed in device batches of ``batch_size``).
-      method: registry name (see methods.available_methods()).
+      method: registry name (see methods.available_methods()) or a deep
+        module name ("dcmcs3di" / "dmsct").
       mesh: optional device mesh; defaults to all devices on one 'data' axis.
-      per_frame: independent per-frame statistics (reference semantics).
+      per_frame: independent per-frame statistics (classical methods only).
+      ckpt_path / module / variables / module_kwargs: deep methods only —
+        where the corrector weights come from (see module docstring).
 
     Returns (T, H, W, 3) corrected frames (device array).
     """
-    fn = methods.get_method(method)
     if mesh is None:
         mesh = create_mesh()
     n_dev = mesh.devices.size
     batch_size = max(batch_size, n_dev)
     batch_size -= batch_size % n_dev
 
-    if not per_frame:
-        # Temporally stable mode: statistics come from the FIXED reference
-        # frame 0, applied to every target frame.
-        r0 = jnp.asarray(reference_frames[0])
-        mapped = jax.jit(jax.vmap(lambda t: jnp.clip(fn(t, r0), 0.0, 1.0)))
+    deep = method in DEEP_METHODS
+    if deep:
+        sample = {
+            "target": jnp.asarray(target_frames[:1]),
+            "reference": jnp.asarray(reference_frames[:1]),
+            "gt": jnp.asarray(target_frames[:1]),
+        }
+        module, variables = _build_deep(
+            method, ckpt_path, module, variables, module_kwargs, sample
+        )
     else:
-        mapped = jax.jit(jax.vmap(lambda t, r: jnp.clip(fn(t, r), 0.0, 1.0)))
+        fn = methods.get_method(method)
+        if not per_frame:
+            # Temporally stable mode: statistics come from the FIXED
+            # reference frame 0, applied to every target frame.
+            r0 = jnp.asarray(reference_frames[0])
+            mapped = jax.jit(jax.vmap(lambda t: jnp.clip(fn(t, r0), 0.0, 1.0)))
+        else:
+            mapped = jax.jit(
+                jax.vmap(lambda t, r: jnp.clip(fn(t, r), 0.0, 1.0))
+            )
 
     t_total = target_frames.shape[0]
     outputs = []
@@ -66,7 +121,11 @@ def color_transfer_between_videos(
             t_chunk = jnp.concatenate([t_chunk, t_chunk[-1:].repeat(pad, 0)], 0)
             r_chunk = jnp.concatenate([r_chunk, r_chunk[-1:].repeat(pad, 0)], 0)
         sharded = shard_batch({"t": t_chunk, "r": r_chunk}, mesh)
-        if per_frame:
+        if deep:
+            out = module.eval_forward(
+                variables, {"target": sharded["t"], "reference": sharded["r"]}
+            )
+        elif per_frame:
             out = mapped(sharded["t"], sharded["r"])
         else:
             out = mapped(sharded["t"])

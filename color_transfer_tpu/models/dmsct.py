@@ -42,15 +42,23 @@ class DMSCT(nn.Module):
     matcher_num_reg_refine: int = 6
     matcher_num_layers: int = 6
     matcher_max_area: int = 500 * 900
-    # bf16 halves the matcher's dominant gather traffic (see
-    # local_correlation_with_flow); set "float32" for bit-strict parity.
-    matcher_corr_dtype: str = "bfloat16"
+    # Defaults are bit-strict-parity f32. "bfloat16" is the throughput path
+    # (halves the correlation kernel's VMEM traffic / the backbone+
+    # transformer conv+matmul cost) — enabled by configs/dmsct.yaml after
+    # the mini 31-distortion protocol gate (PERF.md).
+    matcher_corr_dtype: str = "float32"
+    matcher_compute_dtype: str = None  # None = float32 everywhere
 
     def setup(self):
         self.matcher = GMFlow(
             num_transformer_layers=self.matcher_num_layers,
             num_reg_refine=self.matcher_num_reg_refine,
             corr_dtype=jnp.dtype(self.matcher_corr_dtype).type,
+            compute_dtype=(
+                jnp.dtype(self.matcher_compute_dtype).type
+                if self.matcher_compute_dtype
+                else None
+            ),
         )
         self.encoder = EfficientNetEncoder(
             name_variant=self.encoder_name, depth=self.encoder_depth

@@ -21,6 +21,7 @@ Weight porting: tools/convert_gmflow.py maps the published torch checkpoint
 onto these module names one-to-one.
 """
 
+import functools
 import math
 from functools import lru_cache
 
@@ -48,50 +49,61 @@ class _InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = x.mean(axis=(1, 2), keepdims=True)
-        var = x.var(axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # Statistics in f32 regardless of the compute dtype: per-image
+        # mean/var over H*W positions loses precision fast in bf16.
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)
+        var = xf.var(axis=(1, 2), keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
 class ResidualBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, name="conv1")(x)
+                    padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(_InstanceNorm(name="norm1")(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.relu(_InstanceNorm(name="norm2")(y))
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                        name="downsample_conv")(x)
+                        dtype=self.dtype, name="downsample_conv")(x)
             x = _InstanceNorm(name="norm3")(x)
         return nn.relu(x + y)
 
 
 class CNNEncoder(nn.Module):
     """RAFT-style encoder emitting 2 scales (1/8 and 1/4) via a shared-weight
-    trident conv (reference unimatch/backbone.py:42-120)."""
+    trident conv (reference unimatch/backbone.py:42-120).
+
+    dtype: computation dtype (params stay f32); bf16 halves conv HBM
+    traffic — gate with the mini 31-distortion protocol before enabling."""
 
     output_dim: int = 128
     num_output_scales: int = 2
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(_InstanceNorm(name="norm1")(x))
 
-        x = ResidualBlock(64, 1, name="layer1_0")(x)
-        x = ResidualBlock(64, 1, name="layer1_1")(x)
-        x = ResidualBlock(96, 2, name="layer2_0")(x)
-        x = ResidualBlock(96, 1, name="layer2_1")(x)
+        x = ResidualBlock(64, 1, dtype=self.dtype, name="layer1_0")(x)
+        x = ResidualBlock(64, 1, dtype=self.dtype, name="layer1_1")(x)
+        x = ResidualBlock(96, 2, dtype=self.dtype, name="layer2_0")(x)
+        x = ResidualBlock(96, 1, dtype=self.dtype, name="layer2_1")(x)
         stride3 = 2 if self.num_output_scales == 1 else 1
-        x = ResidualBlock(128, stride3, name="layer3_0")(x)
-        x = ResidualBlock(128, 1, name="layer3_1")(x)
-        x = nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+        x = ResidualBlock(128, stride3, dtype=self.dtype, name="layer3_0")(x)
+        x = ResidualBlock(128, 1, dtype=self.dtype, name="layer3_1")(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
 
         if self.num_output_scales > 1:
             # Shared 3x3 weight applied at strides (1, 2)
@@ -149,6 +161,7 @@ def feature_add_position(feature0, feature1, attn_splits, channels):
         pos = jnp.tile(pos_small, (attn_splits, attn_splits, 1))
     else:
         pos = jnp.asarray(_sine_position(h, w, channels // 2))
+    pos = pos.astype(feature0.dtype)  # keep a bf16 compute path bf16
     return feature0 + pos, feature1 + pos
 
 
@@ -190,12 +203,22 @@ def _shift_window_mask(h, w, k):
 
 
 def _attention(q, k, v, mask=None):
-    """Scaled softmax attention over flattened tokens: (B, L, C) each."""
+    """Scaled softmax attention over flattened tokens: (B, L, C) each.
+
+    Scores accumulate in f32 and the softmax runs in f32 regardless of the
+    operand dtype (bf16 operands keep MXU throughput; f32 softmax keeps the
+    normalization exact). Identity for f32 inputs."""
     c = q.shape[-1]
-    scores = jnp.einsum("blc,bmc->blm", q, k) / math.sqrt(c)
+    scores = jnp.einsum(
+        "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(c)
     if mask is not None:
         scores = scores + mask
-    return jnp.einsum("blm,bmc->blc", jax.nn.softmax(scores, axis=-1), v)
+    prob = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "blm,bmc->blc", prob, v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
 
 
 def swin_attention(q, k, v, num_splits, with_shift, h, w):
@@ -239,14 +262,18 @@ class TransformerLayer(nn.Module):
     d_model: int = 128
     no_ffn: bool = False
     ffn_dim_expansion: int = 4
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
                  attn_type="swin", is_self=True):
         init = nn.initializers.xavier_uniform()
-        q = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="q_proj")(source)
-        k = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="k_proj")(target)
-        v = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="v_proj")(target)
+        q = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
+                     dtype=self.dtype, name="q_proj")(source)
+        k = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
+                     dtype=self.dtype, name="k_proj")(target)
+        v = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
+                     dtype=self.dtype, name="v_proj")(target)
 
         # attn_type routing mirrors reference unimatch/transformer.py:65-138:
         # 'swin' (the flow config) uses 2D shifted windows for both self and
@@ -271,17 +298,20 @@ class TransformerLayer(nn.Module):
                 message = full_attention_1d(q, k, v, h, w)
         else:
             raise ValueError(f"unknown attn_type {attn_type!r}")
-        message = nn.Dense(self.d_model, use_bias=False, kernel_init=init, name="merge")(message)
-        message = nn.LayerNorm(name="norm1")(message)
+        message = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
+                           dtype=self.dtype, name="merge")(message)
+        # LayerNorm statistics stay f32 (flax upcasts internally); only the
+        # output is cast back to the compute dtype.
+        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
 
         if not self.no_ffn:
             y = jnp.concatenate([source, message], axis=-1)
             y = nn.Dense(2 * self.d_model * self.ffn_dim_expansion, use_bias=False,
-                         kernel_init=init, name="mlp_0")(y)
+                         kernel_init=init, dtype=self.dtype, name="mlp_0")(y)
             y = nn.gelu(y, approximate=False)
             message = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
-                               name="mlp_2")(y)
-            message = nn.LayerNorm(name="norm2")(message)
+                               dtype=self.dtype, name="mlp_2")(y)
+            message = nn.LayerNorm(dtype=self.dtype, name="norm2")(message)
         return source + message
 
 
@@ -290,17 +320,18 @@ class TransformerBlock(nn.Module):
 
     d_model: int = 128
     ffn_dim_expansion: int = 4
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
                  attn_type="swin"):
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
-            name="self_attn",
+            dtype=self.dtype, name="self_attn",
         )(source, source, h, w, with_shift, attn_num_splits, attn_type, True)
         source = TransformerLayer(
             self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
-            name="cross_attn_ffn",
+            dtype=self.dtype, name="cross_attn_ffn",
         )(source, target, h, w, with_shift, attn_num_splits, attn_type, False)
         return source
 
@@ -309,10 +340,14 @@ class FeatureTransformer(nn.Module):
     num_layers: int = 6
     d_model: int = 128
     ffn_dim_expansion: int = 4
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, feature0, feature1, attn_num_splits, attn_type="swin"):
         b, h, w, c = feature0.shape
+        if self.dtype is not None:
+            feature0 = feature0.astype(self.dtype)
+            feature1 = feature1.astype(self.dtype)
         concat0 = jnp.concatenate(
             [feature0.reshape(b, h * w, c), feature1.reshape(b, h * w, c)], axis=0
         )
@@ -321,7 +356,8 @@ class FeatureTransformer(nn.Module):
         )
         for i in range(self.num_layers):
             concat0 = TransformerBlock(
-                self.d_model, self.ffn_dim_expansion, name=f"layer_{i}"
+                self.d_model, self.ffn_dim_expansion, dtype=self.dtype,
+                name=f"layer_{i}",
             )(
                 concat0,
                 concat1,
@@ -351,7 +387,11 @@ def global_correlation_softmax(feature0, feature1, pred_bidir_flow=False):
     f0 = feature0.reshape(b, h * w, c)
     f1 = feature1.reshape(b, h * w, c)
 
-    correlation = jnp.einsum("blc,bmc->blm", f0, f1) / math.sqrt(c)
+    # f32 accumulation + f32 softmax/expectation: the flow stays f32 even
+    # when the features ride a bf16 compute path.
+    correlation = jnp.einsum(
+        "blc,bmc->blm", f0, f1, preferred_element_type=jnp.float32
+    ) / math.sqrt(c)
 
     grid = coords_grid(h, w).reshape(h * w, 2)  # (L, 2)
 
@@ -395,7 +435,10 @@ def local_correlation_softmax(feature0, feature1, local_radius):
         shifted = jax.lax.dynamic_slice(
             padded1, (0, r + dy, r + dx, 0), (b, h, w, c)
         )
-        corr = jnp.einsum("bhwc,bhwc->bhw", feature0, shifted)
+        corr = jnp.einsum(
+            "bhwc,bhwc->bhw", feature0, shifted,
+            preferred_element_type=jnp.float32,
+        )
         x_pos = coords[..., 0] + offset[0]
         y_pos = coords[..., 1] + offset[1]
         valid = (x_pos >= 0) & (x_pos < w) & (y_pos >= 0) & (y_pos < h)
@@ -413,16 +456,19 @@ def local_correlation_softmax(feature0, feature1, local_radius):
 
 
 def local_correlation_with_flow(
-    feature0, feature1, flow, local_radius, corr_dtype=jnp.bfloat16, impl=None
+    feature0, feature1, flow, local_radius, corr_dtype=jnp.float32, impl=None
 ):
     """Windowed correlation at flow-displaced positions, no softmax — feeds
     the GRU refiner (reference matching.py:89-126).
 
     impl: "pallas" (VMEM-resident patch extraction, see ops/local_corr.py —
     no HBM gather descriptors), "xla" (row-gather scan below), or None to
-    pick pallas on TPU. The matcher is frozen/inference-only in every
-    caller (reference methods/dmsct.py:31-32), so the kernel path needs no
-    VJP; pass impl="xla" if differentiating through GMFlow.
+    pick pallas on TPU. The pallas path carries a custom VJP whose backward
+    differentiates the mathematically identical XLA path, so it is safe
+    inside value_and_grad (DMSCT's train step traces the frozen matcher
+    with parameter tangents; the stop_gradient on the matcher output then
+    DCEs the backward, so the frozen case pays nothing — and genuinely
+    fine-tuning GMFlow gets correct gradients at XLA-gather speed).
 
     TPU re-design: all K^2 window positions share one bilinear phase (the
     offsets are integers), so ONE (2r+3)^2-patch gather per pixel fetches the
@@ -445,14 +491,17 @@ def local_correlation_with_flow(
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        from color_transfer_tpu.ops.local_corr import (
-            local_correlation_with_flow_pallas,
+        return _local_corr_pallas_ad(
+            local_radius, jnp.dtype(corr_dtype), False, feature0, feature1, flow
         )
+    return _local_correlation_with_flow_xla(
+        feature0, feature1, flow, local_radius, corr_dtype
+    )
 
-        return local_correlation_with_flow_pallas(
-            feature0, feature1, flow, local_radius, corr_dtype=corr_dtype
-        )
 
+def _local_correlation_with_flow_xla(
+    feature0, feature1, flow, local_radius, corr_dtype
+):
     b, h, w, c = feature0.shape
     r = local_radius
     k = 2 * r + 3  # window plus the +1 bilinear corner on each side
@@ -522,6 +571,46 @@ def local_correlation_with_flow(
     return corr.reshape(b, h, w, (2 * r + 1) ** 2) / math.sqrt(c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _local_corr_pallas_ad(
+    local_radius, corr_dtype, interpret, feature0, feature1, flow
+):
+    """Pallas local correlation with an XLA-derived VJP (see the public
+    wrapper's docstring for why this exists). ``interpret`` runs the kernel
+    in interpret mode so the wrapper is testable off-TPU."""
+    from color_transfer_tpu.ops.local_corr import (
+        local_correlation_with_flow_pallas,
+    )
+
+    return local_correlation_with_flow_pallas(
+        feature0, feature1, flow, local_radius, corr_dtype=corr_dtype,
+        interpret=interpret,
+    )
+
+
+def _local_corr_pallas_fwd(
+    local_radius, corr_dtype, interpret, feature0, feature1, flow
+):
+    out = _local_corr_pallas_ad(
+        local_radius, corr_dtype, interpret, feature0, feature1, flow
+    )
+    return out, (feature0, feature1, flow)
+
+
+def _local_corr_pallas_bwd(local_radius, corr_dtype, interpret, residuals, g):
+    feature0, feature1, flow = residuals
+    _, vjp = jax.vjp(
+        lambda f0, f1, fl: _local_correlation_with_flow_xla(
+            f0, f1, fl, local_radius, corr_dtype
+        ),
+        feature0, feature1, flow,
+    )
+    return vjp(g)
+
+
+_local_corr_pallas_ad.defvjp(_local_corr_pallas_fwd, _local_corr_pallas_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Self-attention flow propagation (reference unimatch/attention.py:169-256)
 # ---------------------------------------------------------------------------
@@ -529,12 +618,15 @@ def local_correlation_with_flow(
 
 class SelfAttnPropagation(nn.Module):
     in_channels: int = 128
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, feature0, flow, local_window_attn=False, local_window_radius=1):
         init = nn.initializers.xavier_uniform()
-        q_proj = nn.Dense(self.in_channels, kernel_init=init, name="q_proj")
-        k_proj = nn.Dense(self.in_channels, kernel_init=init, name="k_proj")
+        q_proj = nn.Dense(self.in_channels, kernel_init=init,
+                          dtype=self.dtype, name="q_proj")
+        k_proj = nn.Dense(self.in_channels, kernel_init=init,
+                          dtype=self.dtype, name="k_proj")
 
         b, h, w, c = feature0.shape
         query = q_proj(feature0)
@@ -548,7 +640,10 @@ class SelfAttnPropagation(nn.Module):
             q = query.reshape(b, h * w, c)
             k = key.reshape(b, h * w, c)
             v = flow.reshape(b, h * w, flow.shape[-1])
-            scores = jnp.einsum("blc,bmc->blm", q, k) / math.sqrt(c)
+            scores = jnp.einsum(
+                "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(c)
+            # flow (v) stays f32; the prob @ flow product runs in f32.
             out = jnp.einsum("blm,bmt->blt", jax.nn.softmax(scores, axis=-1), v)
             return out.reshape(b, h, w, flow.shape[-1])
 
@@ -557,7 +652,10 @@ class SelfAttnPropagation(nn.Module):
         ksz = 2 * local_window_radius + 1
         key_w = _unfold_nhwc(key, ksz)  # (B, H, W, K2, C)
         flow_w = _unfold_nhwc(flow, ksz)  # (B, H, W, K2, 2)
-        scores = jnp.einsum("bhwc,bhwkc->bhwk", query, key_w) / math.sqrt(c)
+        scores = jnp.einsum(
+            "bhwc,bhwkc->bhwk", query, key_w,
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(c)
         prob = jax.nn.softmax(scores, axis=-1)
         return jnp.einsum("bhwk,bhwkt->bhwt", prob, flow_w)
 
@@ -682,14 +780,24 @@ class UniMatchFlow(nn.Module):
     ffn_dim_expansion: int = 4
     # dtype of the GRU-refinement correlation gather+dot (the dominant HBM
     # traffic of the matcher); jnp.float32 for bit-strict parity checks.
-    corr_dtype: jnp.dtype = jnp.bfloat16
+    corr_dtype: jnp.dtype = jnp.float32
+    # computation dtype of the backbone convs + transformer stack (params
+    # stay f32; flow math, softmaxes and the GRU refiner stay f32). bf16 is
+    # the throughput path — parity-gate it with the mini 31-distortion
+    # protocol before enabling for quality-reporting runs.
+    compute_dtype: jnp.dtype = None
 
     def setup(self):
-        self.backbone = CNNEncoder(self.feature_channels, self.num_scales)
-        self.transformer = FeatureTransformer(
-            self.num_transformer_layers, self.feature_channels, self.ffn_dim_expansion
+        self.backbone = CNNEncoder(
+            self.feature_channels, self.num_scales, dtype=self.compute_dtype
         )
-        self.feature_flow_attn = SelfAttnPropagation(self.feature_channels)
+        self.transformer = FeatureTransformer(
+            self.num_transformer_layers, self.feature_channels,
+            self.ffn_dim_expansion, dtype=self.compute_dtype,
+        )
+        self.feature_flow_attn = SelfAttnPropagation(
+            self.feature_channels, dtype=self.compute_dtype
+        )
         self.refine_proj = nn.Conv(256, (1, 1), name="refine_proj")
         self.refine = BasicUpdateBlock(self.upsample_factor, 2)
 
@@ -796,12 +904,14 @@ class GMFlow(nn.Module):
     inference_size: tuple = None  # static (H, W) the matcher runs at
     num_transformer_layers: int = 6
     num_reg_refine: int = 6
-    corr_dtype: jnp.dtype = jnp.bfloat16  # see UniMatchFlow.corr_dtype
+    corr_dtype: jnp.dtype = jnp.float32  # see UniMatchFlow.corr_dtype
+    compute_dtype: jnp.dtype = None  # see UniMatchFlow.compute_dtype
 
     def setup(self):
         self.core = UniMatchFlow(
             num_transformer_layers=self.num_transformer_layers,
             corr_dtype=self.corr_dtype,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, img0, img1, pred_bidir_flow=True,

@@ -44,26 +44,38 @@ def _extract_kernel(starts_ref, f0_ref, f1_ref, out_ref, *, k, wp, p_blk):
     f0_ref: (1, p_blk, C) VMEM — feature0 pixels for this block.
     f1_ref: (1, Hp, Wp, C) VMEM — the full padded feature1 image; constant
       index map across the block axis keeps it resident.
-    out_ref: (1, p_blk, k, k) f32 — raw window dots (no bilinear, no scale).
+    out_ref: (1, p_blk, k, k+8) f32 — raw window dots over the 8-aligned
+      superset window (no bilinear, no scale).
 
-    The per-pixel dynamic window read stays off the lane axis: the (k, k)
-    spatial offsets index the leading/sublane axes of f1_ref and the channel
-    axis is a full lane slice — lane-dynamic VMEM addressing does not
-    compile on Mosaic (see core/sampling.py).
+    The per-pixel dynamic window read stays off the lane axis: the window-row
+    offset ry indexes the leading (untiled) axis of f1_ref — freely dynamic —
+    and the channel axis is a full lane slice. The window-column offset rx
+    lands on the SUBLANE axis, where Mosaic requires dynamic indices to be
+    provably 8-aligned: the load therefore takes the 8-aligned (k, k+8, C)
+    superset window at rx8 = 8*(rx//8) and the kernel emits ALL k+8 column
+    dots; the caller selects the k true columns with a vectorized masked sum
+    on roff = rx - rx8 (doing the select in-kernel as predicated stores
+    compiles minutes-slow in Mosaic — 64 cases after the group unroll).
     """
     cols = p_blk // 8
 
-    def body(p, carry):
-        s = starts_ref[0, 0, p // cols, p % cols]
-        ry = s // wp
-        rx = s - ry * wp
-        patch = f1_ref[0, pl.ds(ry, k), pl.ds(rx, k), :]  # (k, k, C)
-        f0p = f0_ref[0, pl.ds(p, 1), :]  # (1, C)
-        prod = patch.astype(jnp.float32) * f0p[None].astype(jnp.float32)
-        out_ref[0, pl.ds(p, 1)] = jnp.sum(prod, axis=-1)[None]
+    def group(g, carry):
+        # f0 reads are also sublane-indexed, so fetch an aligned group of 8
+        # pixels once and pick each row with a static slice.
+        base = pl.multiple_of(g * 8, 8)
+        f0g = f0_ref[0, pl.ds(base, 8), :].astype(jnp.float32)  # (8, C)
+        for j in range(8):
+            flat = g * 8 + j
+            s = starts_ref[0, 0, flat // cols, flat % cols]
+            ry = s // wp
+            rx8 = pl.multiple_of(((s - ry * wp) // 8) * 8, 8)
+            patch = f1_ref[0, pl.ds(ry, k), pl.ds(rx8, k + 8), :]
+            f0p = jax.lax.slice(f0g, (j, 0), (j + 1, f0g.shape[1]))  # (1, C)
+            prod = patch.astype(jnp.float32) * f0p[None]
+            out_ref[0, pl.ds(base + j, 1)] = jnp.sum(prod, axis=-1)[None]
         return carry
 
-    jax.lax.fori_loop(0, p_blk, body, 0)
+    jax.lax.fori_loop(0, p_blk // 8, group, 0)
 
 
 @functools.partial(
@@ -85,7 +97,9 @@ def local_correlation_with_flow_pallas(
     r = local_radius
     k = 2 * r + 3  # window plus one bilinear corner each side
     pad = 2 * r + 4
-    hp, wp = h + 2 * pad, w + 2 * pad
+    # +8 columns on the right so the kernel's 8-aligned (k+8)-wide superset
+    # window never reads past the buffer (see _extract_kernel).
+    hp, wp = h + 2 * pad, w + 2 * pad + 8
 
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
@@ -97,12 +111,13 @@ def local_correlation_with_flow_pallas(
     y0 = jnp.floor(by)
     wx = (bx - x0).reshape(b, h * w, 1, 1)
     wy = (by - y0).reshape(b, h * w, 1, 1)
-    starts = (
-        (y0.astype(jnp.int32) - r + pad) * wp + (x0.astype(jnp.int32) - r + pad)
-    ).reshape(b, h * w)
+    rx = (x0.astype(jnp.int32) - r + pad).reshape(b, h * w)
+    roff = rx % 8  # sub-window offset within the kernel's 8-aligned load
+    starts = (y0.astype(jnp.int32) - r + pad).reshape(b, h * w) * wp + rx
 
     f1p = jnp.pad(
-        feature1.astype(corr_dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+        feature1.astype(corr_dtype),
+        ((0, 0), (pad, pad), (pad, pad + 8), (0, 0)),
     )
     f0 = feature0.astype(corr_dtype).reshape(b, h * w, c)
 
@@ -116,9 +131,9 @@ def local_correlation_with_flow_pallas(
     blocks = n_pad // p_blk
     starts = starts.reshape(b, blocks, 8, p_blk // 8)
 
-    dots = pl.pallas_call(
+    dots_wide = pl.pallas_call(
         functools.partial(_extract_kernel, k=k, wp=wp, p_blk=p_blk),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, k, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, k, k + 8), jnp.float32),
         grid=(b, blocks),
         in_specs=[
             pl.BlockSpec(
@@ -134,7 +149,7 @@ def local_correlation_with_flow_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, p_blk, k, k), lambda i, j: (i, j, 0, 0),
+            (1, p_blk, k, k + 8), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         # The resident f1 image (double-buffered by the pipeline) dominates
@@ -145,7 +160,16 @@ def local_correlation_with_flow_pallas(
         interpret=interpret,
     )(starts, f0, f1p)
 
-    dots = dots[:, :n]  # (B, HW, k, k)
+    # Select each pixel's k true columns out of the 8-aligned superset via a
+    # vectorized masked sum over the 8 possible sub-offsets (elementwise —
+    # no gather; XLA fuses the 8 shifted reads into one pass).
+    dots_wide = dots_wide[:, :n]  # (B, HW, k, k+8)
+    mask = roff[:, :, None, None]
+    dots = jnp.zeros((b, n, k, k), jnp.float32)
+    for off in range(8):
+        piece = jax.lax.slice_in_dim(dots_wide, off, off + k, axis=3)
+        dots = dots + jnp.where(mask == off, piece, 0.0)
+
     d00 = dots[:, :, :-1, :-1]
     d01 = dots[:, :, :-1, 1:]
     d10 = dots[:, :, 1:, :-1]

@@ -280,7 +280,8 @@ class DMSCTModule:
         matcher_checkpoint=None,
         matcher_num_layers=6,
         matcher_num_reg_refine=6,
-        matcher_corr_dtype="bfloat16",
+        matcher_corr_dtype="float32",
+        matcher_compute_dtype=None,
     ):
         from color_transfer_tpu.models.dmsct import DMSCT
 
@@ -292,6 +293,7 @@ class DMSCTModule:
             matcher_num_layers=matcher_num_layers,
             matcher_num_reg_refine=matcher_num_reg_refine,
             matcher_corr_dtype=matcher_corr_dtype,
+            matcher_compute_dtype=matcher_compute_dtype,
         )
         self.learning_rate = learning_rate
         self.eta_min = eta_min

@@ -125,3 +125,49 @@ class TestAssembled:
         assert out["fwd_occ"].shape == (1, 30, 50, 1)
         occ = np.asarray(out["fwd_occ"])
         assert ((occ == 0) | (occ == 1)).all()
+
+
+class TestComputeDtype:
+    def test_bf16_compute_path_close_to_f32(self, rng):
+        """The bf16 backbone/transformer path (configs/dmsct.yaml throughput
+        settings) must stay close to the f32 default on the same weights —
+        flow math, softmaxes and accumulation are pinned f32 by design."""
+        from color_transfer_tpu.models.gmflow import GMFlow
+
+        f32 = GMFlow(num_transformer_layers=1, num_reg_refine=1,
+                     inference_size=(32, 32))
+        bf16 = GMFlow(num_transformer_layers=1, num_reg_refine=1,
+                      inference_size=(32, 32), compute_dtype=jnp.bfloat16,
+                      corr_dtype=jnp.bfloat16)
+        img0 = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        variables = f32.init(jax.random.PRNGKey(0), img0, img1)
+
+        out_a = f32.apply(variables, img0, img1)
+        out_b = bf16.apply(variables, img0, img1)
+        flow_a = np.asarray(out_a["flow"])
+        flow_b = np.asarray(out_b["flow"])
+        assert flow_b.dtype == np.float32  # flow stays f32
+        assert np.isfinite(flow_b).all()
+        # Random weights amplify dtype noise through the softmax argmaxes;
+        # the gate here is "same flow field character", the quality gate on
+        # real weights is the mini 31-distortion protocol (PERF.md).
+        scale = np.abs(flow_a).mean() + 1e-3
+        assert np.abs(flow_a - flow_b).mean() / scale < 0.35
+
+    def test_f32_default_unchanged_by_dtype_plumbing(self, rng):
+        """compute_dtype=None must be the exact f32 path (parity tests and
+        checkpoint ports rely on it)."""
+        from color_transfer_tpu.models.gmflow import GMFlow
+
+        a = GMFlow(num_transformer_layers=1, num_reg_refine=1,
+                   inference_size=(32, 32))
+        b = GMFlow(num_transformer_layers=1, num_reg_refine=1,
+                   inference_size=(32, 32), compute_dtype=None)
+        img0 = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        variables = a.init(jax.random.PRNGKey(0), img0, img1)
+        np.testing.assert_array_equal(
+            np.asarray(a.apply(variables, img0, img1)["flow"]),
+            np.asarray(b.apply(variables, img0, img1)["flow"]),
+        )

@@ -64,6 +64,50 @@ class TestLocalCorrKernel:
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
 
+    def test_pallas_path_differentiable(self, rng):
+        """Regression: DMSCT's train step JVP-traces the frozen matcher with
+        parameter tangents, so the pallas route MUST be linearizable — its
+        custom VJP differentiates the identical XLA path (gmflow.py). Grads
+        through both routes must match."""
+        from color_transfer_tpu.models.gmflow import _local_corr_pallas_ad
+
+        f0, f1, flow = _pair(rng, 1, 6, 8, 4, 2.0)
+
+        def loss_pallas(f0, f1, flow):
+            out = _local_corr_pallas_ad(2, jnp.dtype(jnp.float32), True,
+                                        f0, f1, flow)
+            return jnp.sum(out * out)
+
+        def loss_xla(f0, f1, flow):
+            out = local_correlation_with_flow(
+                f0, f1, flow, 2, corr_dtype=jnp.float32, impl="xla"
+            )
+            return jnp.sum(out * out)
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(f0, f1, flow)
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(f0, f1, flow)
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w_), rtol=1e-4, atol=1e-4
+            )
+
+    def test_pallas_path_linearizes_under_value_and_grad(self, rng):
+        """The crash mode itself: value_and_grad over a function whose
+        FORWARD routes through the pallas kernel while the output is
+        stop-gradient'ed (the frozen-matcher pattern in DMSCT)."""
+        from color_transfer_tpu.models.gmflow import _local_corr_pallas_ad
+
+        f0, f1, flow = _pair(rng, 1, 6, 8, 4, 2.0)
+
+        def loss(f0):
+            corr = _local_corr_pallas_ad(1, jnp.dtype(jnp.float32), True,
+                                         f0, f1, flow)
+            return jnp.sum(f0) + jnp.sum(jax.lax.stop_gradient(corr))
+
+        val, grad = jax.value_and_grad(loss)(f0)
+        assert np.isfinite(float(val))
+        np.testing.assert_allclose(np.asarray(grad), 1.0)
+
     def test_zero_flow_is_local_window_dot(self, rng):
         """Independent oracle: zero flow makes the op a plain shifted-window
         correlation computable with numpy."""

@@ -298,3 +298,39 @@ class TestPallasApplyKernel:
         np.testing.assert_allclose(
             np.asarray(out_pallas), np.asarray(out_xla), atol=5e-3
         )
+
+
+class TestRegrainStencilKernel:
+    def test_pallas_sweeps_match_xla_path(self, rng):
+        """ops/regrain_stencil.py must reproduce _solve's XLA fori_loop
+        sweeps bit-closely for the same invariants (edge-replicate stencil,
+        damping, nbit iterations)."""
+        import jax.numpy as jnp
+        from color_transfer_tpu.methods import iterative as it
+        from color_transfer_tpu.ops.regrain_stencil import regrain_sweeps_pallas
+
+        h, w = 13, 22  # odd sizes exercise boundary masks + lane padding
+        img_in = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        img_col = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        img_out = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        nbit, level = 7, 1
+
+        want = it._solve(img_out, img_in, img_col, nbit, level)
+
+        const, (p1, p2, p3, p4), invd = it._solve_invariants(
+            img_in, img_col, level
+        )
+        phis = jnp.stack([p1[..., 0], p2[..., 0], p3[..., 0], p4[..., 0]])
+        got = regrain_sweeps_pallas(
+            img_out, const, phis, invd[..., 0], nbit, rho=0.2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+        )
+
+    def test_level_fits_vmem_policy(self):
+        from color_transfer_tpu.ops.regrain_stencil import level_fits_vmem
+
+        assert level_fits_vmem(540, 960)
+        assert level_fits_vmem(34, 60)
+        assert not level_fits_vmem(2160, 3840)

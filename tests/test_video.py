@@ -34,3 +34,51 @@ class TestVideoTransfer:
         )
         for i in range(1, 5):
             np.testing.assert_allclose(out[i], out[0], atol=1e-6)
+
+
+class TestDeepVideoServing:
+    def test_dmsct_clip_sharded_matches_eval_forward(self, rng):
+        """A (T,H,W,3) clip through method='dmsct' sharded over 'data' must
+        equal the module's plain eval_forward (reference demo.ipynb cell 26
+        runs the corrector per image)."""
+        import jax
+        from color_transfer_tpu.methods.video import color_transfer_between_videos
+        from color_transfer_tpu.parallel import create_mesh
+        from color_transfer_tpu.run.modules import DMSCTModule
+
+        module = DMSCTModule(
+            heavy_metrics=False, matcher_num_layers=1, matcher_num_reg_refine=1
+        )
+        t = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+        r = np.clip(t * 0.9 + 0.03, 0, 1).astype(np.float32)
+        variables = module.init_eval_variables(
+            jax.random.PRNGKey(0),
+            {"target": jnp.asarray(t[:1]), "reference": jnp.asarray(r[:1])},
+        )
+        mesh = create_mesh()
+        out = color_transfer_between_videos(
+            t, r, method="dmsct", mesh=mesh, module=module, variables=variables
+        )
+        assert out.shape == t.shape
+        want = module.eval_forward(
+            variables, {"target": jnp.asarray(t), "reference": jnp.asarray(r)}
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=2e-5
+        )
+
+    def test_dcmcs3di_clip_from_random_init(self, rng):
+        """method='dcmcs3di' without weights runs from random init."""
+        from color_transfer_tpu.methods.video import color_transfer_between_videos
+
+        t = rng.uniform(0, 1, (4, 16, 32, 3)).astype(np.float32)
+        r = np.clip(t * 0.9 + 0.03, 0, 1).astype(np.float32)
+        out = color_transfer_between_videos(
+            t, r, method="dcmcs3di",
+            module_kwargs={
+                "extraction_layers": 1, "transfer_layers": 1, "channels": 8,
+                "heavy_metrics": False,
+            },
+        )
+        assert out.shape == t.shape
+        assert np.isfinite(np.asarray(out)).all()
