@@ -491,8 +491,20 @@ def local_correlation_with_flow(
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
+        # Kernel schedule (measured on v5e, PERF.md): the MXU variant wins
+        # outright for bf16 operands (2.7x at DMSCT's training shape — bf16
+        # x bf16 -> f32 is exact one-pass); for f32 it needs multi-pass
+        # HIGHEST precision, which only pays off once there are enough
+        # pixels to amortize (1.5x at 184k pixels, slightly behind the VPU
+        # variant at small batches).
+        b, h, w, _ = feature0.shape
+        if jnp.dtype(corr_dtype) != jnp.float32 or b * h * w >= 2**17:
+            variant = "mxu"
+        else:
+            variant = "vpu"
         return _local_corr_pallas_ad(
-            local_radius, jnp.dtype(corr_dtype), False, feature0, feature1, flow
+            local_radius, jnp.dtype(corr_dtype), False, variant,
+            feature0, feature1, flow,
         )
     return _local_correlation_with_flow_xla(
         feature0, feature1, flow, local_radius, corr_dtype
@@ -571,9 +583,9 @@ def _local_correlation_with_flow_xla(
     return corr.reshape(b, h, w, (2 * r + 1) ** 2) / math.sqrt(c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _local_corr_pallas_ad(
-    local_radius, corr_dtype, interpret, feature0, feature1, flow
+    local_radius, corr_dtype, interpret, variant, feature0, feature1, flow
 ):
     """Pallas local correlation with an XLA-derived VJP (see the public
     wrapper's docstring for why this exists). ``interpret`` runs the kernel
@@ -584,20 +596,22 @@ def _local_corr_pallas_ad(
 
     return local_correlation_with_flow_pallas(
         feature0, feature1, flow, local_radius, corr_dtype=corr_dtype,
-        interpret=interpret,
+        interpret=interpret, variant=variant,
     )
 
 
 def _local_corr_pallas_fwd(
-    local_radius, corr_dtype, interpret, feature0, feature1, flow
+    local_radius, corr_dtype, interpret, variant, feature0, feature1, flow
 ):
     out = _local_corr_pallas_ad(
-        local_radius, corr_dtype, interpret, feature0, feature1, flow
+        local_radius, corr_dtype, interpret, variant, feature0, feature1, flow
     )
     return out, (feature0, feature1, flow)
 
 
-def _local_corr_pallas_bwd(local_radius, corr_dtype, interpret, residuals, g):
+def _local_corr_pallas_bwd(
+    local_radius, corr_dtype, interpret, variant, residuals, g
+):
     feature0, feature1, flow = residuals
     _, vjp = jax.vjp(
         lambda f0, f1, fl: _local_correlation_with_flow_xla(

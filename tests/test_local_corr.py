@@ -26,39 +26,45 @@ def _pair(rng, b, h, w, c, flow_scale):
 
 
 class TestLocalCorrKernel:
+    @pytest.mark.parametrize("variant", ["vpu", "mxu"])
     @pytest.mark.parametrize("flow_scale", [0.75, 6.0, 50.0])
-    def test_matches_xla_f32(self, rng, flow_scale):
+    def test_matches_xla_f32(self, rng, flow_scale, variant):
         f0, f1, flow = _pair(rng, 2, 12, 16, 8, flow_scale)
         want = local_correlation_with_flow(
             f0, f1, flow, 4, corr_dtype=jnp.float32, impl="xla"
         )
         got = local_correlation_with_flow_pallas(
-            f0, f1, flow, 4, corr_dtype=jnp.float32, p_blk=64, interpret=True
+            f0, f1, flow, 4, corr_dtype=jnp.float32, p_blk=64, interpret=True,
+            variant=variant,
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
 
-    def test_matches_xla_bf16(self, rng):
+    @pytest.mark.parametrize("variant", ["vpu", "mxu"])
+    def test_matches_xla_bf16(self, rng, variant):
         f0, f1, flow = _pair(rng, 1, 8, 8, 16, 3.0)
         want = local_correlation_with_flow(
             f0, f1, flow, 4, corr_dtype=jnp.bfloat16, impl="xla"
         )
         got = local_correlation_with_flow_pallas(
-            f0, f1, flow, 4, corr_dtype=jnp.bfloat16, p_blk=32, interpret=True
+            f0, f1, flow, 4, corr_dtype=jnp.bfloat16, p_blk=32, interpret=True,
+            variant=variant,
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
         )
 
-    def test_non_divisible_pixel_blocks(self, rng):
+    @pytest.mark.parametrize("variant", ["vpu", "mxu"])
+    def test_non_divisible_pixel_blocks(self, rng, variant):
         # h*w = 6*10 = 60, not a multiple of p_blk=32: pads then crops.
         f0, f1, flow = _pair(rng, 1, 6, 10, 4, 2.0)
         want = local_correlation_with_flow(
             f0, f1, flow, 1, corr_dtype=jnp.float32, impl="xla"
         )
         got = local_correlation_with_flow_pallas(
-            f0, f1, flow, 1, corr_dtype=jnp.float32, p_blk=32, interpret=True
+            f0, f1, flow, 1, corr_dtype=jnp.float32, p_blk=32, interpret=True,
+            variant=variant,
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
@@ -74,7 +80,7 @@ class TestLocalCorrKernel:
         f0, f1, flow = _pair(rng, 1, 6, 8, 4, 2.0)
 
         def loss_pallas(f0, f1, flow):
-            out = _local_corr_pallas_ad(2, jnp.dtype(jnp.float32), True,
+            out = _local_corr_pallas_ad(2, jnp.dtype(jnp.float32), True, "mxu",
                                         f0, f1, flow)
             return jnp.sum(out * out)
 
@@ -100,7 +106,7 @@ class TestLocalCorrKernel:
         f0, f1, flow = _pair(rng, 1, 6, 8, 4, 2.0)
 
         def loss(f0):
-            corr = _local_corr_pallas_ad(1, jnp.dtype(jnp.float32), True,
+            corr = _local_corr_pallas_ad(1, jnp.dtype(jnp.float32), True, "vpu",
                                          f0, f1, flow)
             return jnp.sum(f0) + jnp.sum(jax.lax.stop_gradient(corr))
 
