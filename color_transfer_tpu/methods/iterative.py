@@ -51,10 +51,23 @@ def _uniform_histograms(scaled, bins):
     mapped to bin space ([0, bins)); returns (A, bins) f32 counts.
 
     counts[a, 16h+l] = sum_n [hi==h][lo==l] — one batched 16x16 matmul on
-    the MXU (exact: 0/1 bf16 operands, f32 accumulation, counts < 2^24)."""
+    the MXU. On TPU the one-hots are int4: 0/1 products are exact in the
+    int32 accumulator (counts < 2^31) and the 4x denser operands cut the
+    HBM round-trip of the materialized (A, N, 16) one-hot pair — measured
+    4x faster end-to-end at 1080p batch 4 than the bf16 form (PERF.md).
+    bf16 elsewhere (int4 matmuls are TPU-only); exact too (counts < 2^24).
+    """
     idx = jnp.clip(jnp.floor(scaled), 0, bins - 1).astype(jnp.int32)
-    P, Q = _onehot_pair(idx)
-    counts = jnp.einsum("anh,anl->ahl", P, Q, preferred_element_type=jnp.float32)
+    if jax.default_backend() == "tpu":
+        P, Q = _onehot_pair(idx, dtype=jnp.int4)
+        counts = jnp.einsum(
+            "anh,anl->ahl", P, Q, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        P, Q = _onehot_pair(idx)
+        counts = jnp.einsum(
+            "anh,anl->ahl", P, Q, preferred_element_type=jnp.float32
+        )
     return counts.reshape(scaled.shape[0], _SPLIT * _SPLIT)[:, :bins]
 
 
