@@ -57,6 +57,28 @@ class MetricLogger:
                 step=step,
             )
 
+    def log_checkpoint(self, path, alias, step=None, score=None):
+        """Register a saved checkpoint as a run artifact (the reference's
+        ``WandbLogger(log_model=true)`` uploads every ModelCheckpoint save
+        as a W&B model artifact, configs/dcmcs3di.yaml:19-22). With W&B
+        active the checkpoint directory is uploaded under the run's model
+        artifact with the given alias ("best"/"last"); offline, the event
+        lands in metrics.jsonl so artifact lineage stays observable."""
+        record = {"checkpoint": str(path), "alias": alias, "time": time.time()}
+        if step is not None:
+            record["step"] = int(step)
+        if score is not None:
+            record["score"] = float(score)
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+        if self.wandb_run is not None:
+            artifact = _wandb.Artifact(
+                f"model-{self.wandb_run.id}", type="model",
+                metadata={"step": step, "score": score},
+            )
+            artifact.add_dir(str(path))
+            self.wandb_run.log_artifact(artifact, aliases=[alias])
+
     def close(self):
         self._file.close()
         if self.wandb_run is not None:

@@ -170,11 +170,18 @@ class Trainer:
                 self.ckpt.save_last(
                     payload, hparams=module.hparams, step=step, epoch=epoch
                 )
+                self.logger.log_checkpoint(
+                    self.ckpt.ckpt_dir / "last", "last", step=step
+                )
                 if self.ckpt.monitor in val_metrics:
-                    self.ckpt.save_best(
+                    if self.ckpt.save_best(
                         payload, val_metrics, hparams=module.hparams, step=step,
                         epoch=epoch,
-                    )
+                    ):
+                        self.logger.log_checkpoint(
+                            self.ckpt.ckpt_dir / "best", "best", step=step,
+                            score=float(val_metrics[self.ckpt.monitor]),
+                        )
         return state
 
     def _log_val_panels(self, module, datamodule, state, val_metrics,

@@ -78,6 +78,16 @@ class TestCLI:
         results = json.loads(out[out.index("{"):])
         assert "Test PSNR/dataloader_idx_0" in results
 
+        # Checkpoint saves are registered as run artifacts (the reference's
+        # WandbLogger(log_model=true), configs/dcmcs3di.yaml:22): offline
+        # they appear as JSONL events with alias + path.
+        events = [
+            json.loads(line)
+            for line in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+        ]
+        aliases = {e.get("alias") for e in events if "checkpoint" in e}
+        assert {"best", "last"} <= aliases
+
     def test_classical_test_with_func_spec_override(self, tmp_path, capsys):
         data_root = _make_data(tmp_path)
         cfg_path = tmp_path / "others.yaml"
