@@ -137,9 +137,8 @@ _APPLY_MB = 32  # sublane rows per kernel block; >=64 miscompiles (Mosaic)
 def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
     """Fused per-axis table interpolation (the IDT transport apply step).
 
-    x: (3, mb, 128) f32 projections; g: (3, 4, 16, 16) f32 — the transfer
-    tables split bf16-hi/lo ([F_hi | F_lo | Fnext_hi | Fnext_lo]); scal:
-    (3, 4) SMEM [grid_lo, step, right_edge, _].
+    x: (3, mb, 128) f32 projections; g: (3, 2, 16, 16) f32 — the transfer
+    tables [F | Fnext]; scal: (3, 4) SMEM [grid_lo, step, right_edge, _].
 
     Layout is the whole trick: TPU has no per-lane gather and Mosaic can't
     reshape (mb, 128) -> (mb*128, 1), so the 16-way one-hots put their
@@ -150,9 +149,12 @@ def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
     the XLA einsum formulation round-trips ~2 GB/iteration of one-hots
     through HBM (10.6 ms vs 5.5 ms measured, batch-4 1080p).
 
-    The MXU computes in bf16, which costs ~0.5 of a bin at 255-bin tables;
-    the hi/lo split recovers f32 selection exactly (Q is one-hot, so the
-    two dots select F_hi[i] and F_lo[i]; their sum is the f32 value).
+    The one-pass MXU dot computes in bf16, which would cost ~0.5 of a bin
+    at 255-bin tables; Precision.HIGHEST makes the f32 contraction exact
+    in-kernel. (Measured: HIGHEST here is ~6.5x FASTER than the earlier
+    bf16 hi/lo table-split workaround — the split's two dots plus the
+    extra epilogue dominated, and in-kernel the 16x16 table dot is far
+    from MXU-bound either way.)
     """
     mb = x_ref.shape[1]
     hgrid = lax.broadcasted_iota(jnp.int32, (16, mb, _LANES), 0)
@@ -170,19 +172,16 @@ def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
         P = (hi[None, :, :] == hgrid).astype(jnp.float32)  # (16, mb, 128)
         Q = (lo[None, :, :] == hgrid).astype(jnp.float32)
 
-        def table_select(Fhi, Flo):
-            s_hi = jax.lax.dot_general(
-                Fhi, Q, (((1,), (0,)), ((), ())),
+        def table_select(F):
+            s = jax.lax.dot_general(
+                F, Q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
             )
-            s_lo = jax.lax.dot_general(
-                Flo, Q, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return jnp.sum(P * (s_hi + s_lo), axis=0)  # (mb, 128)
+            return jnp.sum(P * s, axis=0)  # (mb, 128)
 
-        v0 = table_select(g_ref[a, 0], g_ref[a, 1])
-        v1 = table_select(g_ref[a, 2], g_ref[a, 3])
+        v0 = table_select(g_ref[a, 0])
+        v1 = table_select(g_ref[a, 1])
         val = v0 * (1.0 - frac) + v1 * frac
         val = jnp.where(x < grid_lo, 0.0, val)
         val = jnp.where(x > right_edge, float(n), val)
@@ -192,8 +191,8 @@ def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
 def _apply_tables_pallas(d0, grid_lo, step, fp, right_edge, interpret=False):
     """Pallas path of the transport apply: d0 (3, N) -> transported (3, N).
 
-    fp: (3, bins) f32 transfer tables. Pads N to the kernel block, splits
-    the tables into bf16 hi/lo parts, and launches ``_apply_kernel``."""
+    fp: (3, bins) f32 transfer tables. Pads N to the kernel block, packs
+    the tables as 16x16 grids, and launches ``_apply_kernel``."""
     _, n_pix = d0.shape
     bins = fp.shape[1]
     blk = _APPLY_MB * _LANES
@@ -204,14 +203,10 @@ def _apply_tables_pallas(d0, grid_lo, step, fp, right_edge, interpret=False):
     fp_next = jnp.concatenate([fp[:, 1:], fp[:, -1:]], axis=1)
     pad_t = 256 - bins
 
-    def split(t):
-        t = jnp.pad(t, ((0, 0), (0, pad_t))).reshape(3, 16, 16)
-        t_hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-        return t_hi, t - t_hi
+    def grid16(t):
+        return jnp.pad(t, ((0, 0), (0, pad_t))).reshape(3, 16, 16)
 
-    f_hi, f_lo = split(fp)
-    fn_hi, fn_lo = split(fp_next)
-    g = jnp.stack([f_hi, f_lo, fn_hi, fn_lo], axis=1)  # (3, 4, 16, 16)
+    g = jnp.stack([grid16(fp), grid16(fp_next)], axis=1)  # (3, 2, 16, 16)
 
     scal = jnp.stack(
         [grid_lo, step, right_edge, jnp.zeros_like(step)], axis=1

@@ -273,7 +273,8 @@ class TestMKOracle:
 class TestPallasApplyKernel:
     def test_matches_xla_interp_path(self, rng):
         """The fused Pallas transport-apply (interpret mode) matches the
-        XLA einsum path within the bf16 hi/lo-split tolerance."""
+        XLA einsum path near-exactly (both contract the f32 tables at
+        Precision.HIGHEST; only the frac arithmetic orders differ)."""
         from color_transfer_tpu.methods import iterative as it
 
         d0 = jnp.asarray(
@@ -296,7 +297,7 @@ class TestPallasApplyKernel:
             right_edge=right_edge,
         )
         np.testing.assert_allclose(
-            np.asarray(out_pallas), np.asarray(out_xla), atol=5e-3
+            np.asarray(out_pallas), np.asarray(out_xla), atol=1e-4
         )
 
 
