@@ -223,7 +223,11 @@ def _attention(q, k, v, mask=None):
 
 def swin_attention(q, k, v, num_splits, with_shift, h, w):
     """Split-window attention with optional swin shift
-    (reference unimatch/attention.py:48-107)."""
+    (reference unimatch/attention.py:48-107).
+
+    q/k/v ride one channel-concatenated tensor through the roll and the
+    6D window transpose — the window split is a purely spatial transform,
+    so one 3C-wide pass replaces three C-wide passes of HBM traffic."""
     b, _, c = q.shape
     q = q.reshape(b, h, w, c)
     k = k.reshape(b, h, w, c)
@@ -236,15 +240,13 @@ def swin_attention(q, k, v, num_splits, with_shift, h, w):
 
     hs, ws = h // num_splits, w // num_splits
     mask = None
+    qkv = jnp.concatenate([q, k, v], axis=-1)
     if with_shift:
-        q = jnp.roll(q, (-(hs // 2), -(ws // 2)), axis=(1, 2))
-        k = jnp.roll(k, (-(hs // 2), -(ws // 2)), axis=(1, 2))
-        v = jnp.roll(v, (-(hs // 2), -(ws // 2)), axis=(1, 2))
+        qkv = jnp.roll(qkv, (-(hs // 2), -(ws // 2)), axis=(1, 2))
         mask = jnp.tile(jnp.asarray(_shift_window_mask(h, w, num_splits)), (b, 1, 1))
 
-    qw = split_windows(q, num_splits).reshape(-1, hs * ws, c)
-    kw = split_windows(k, num_splits).reshape(-1, hs * ws, c)
-    vw = split_windows(v, num_splits).reshape(-1, hs * ws, c)
+    qkvw = split_windows(qkv, num_splits).reshape(-1, hs * ws, 3 * c)
+    qw, kw, vw = jnp.split(qkvw, 3, axis=-1)
 
     out = _attention(qw, kw, vw, mask)
     out = merge_windows(out.reshape(-1, hs, ws, c), num_splits)
@@ -268,12 +270,37 @@ class TransformerLayer(nn.Module):
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
                  attn_type="swin", is_self=True):
         init = nn.initializers.xavier_uniform()
-        q = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
-                     dtype=self.dtype, name="q_proj")(source)
-        k = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
-                     dtype=self.dtype, name="k_proj")(target)
-        v = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
-                     dtype=self.dtype, name="v_proj")(target)
+
+        # q/k/v projections as explicit params with the same tree layout a
+        # nn.Dense child would produce ({"q_proj": {"kernel": ...}}), so the
+        # torch converter mapping is unchanged — but fused at apply time:
+        # self-attention runs ONE (L,C)@(C,3C) dot instead of three
+        # (L,C)@(C,C) dots (one read of the activations instead of three;
+        # small-shape dispatch overhead amortized 3x), cross-attention fuses
+        # k/v into a (C,2C) dot. Column blocks of a matmul are independent,
+        # so the fused dots are numerically identical to the separate ones.
+        c_in = source.shape[-1]
+
+        def _proj(name):
+            return self.param(
+                name, lambda key: {"kernel": init(key, (c_in, self.d_model))}
+            )["kernel"]
+
+        wq, wk, wv = _proj("q_proj"), _proj("k_proj"), _proj("v_proj")
+
+        def _dot(x, w):
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                w = w.astype(self.dtype)
+            return x @ w
+
+        if is_self:
+            qkv = _dot(source, jnp.concatenate([wq, wk, wv], axis=1))
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = _dot(source, wq)
+            kv = _dot(target, jnp.concatenate([wk, wv], axis=1))
+            k, v = jnp.split(kv, 2, axis=-1)
 
         # attn_type routing mirrors reference unimatch/transformer.py:65-138:
         # 'swin' (the flow config) uses 2D shifted windows for both self and
