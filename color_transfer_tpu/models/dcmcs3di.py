@@ -86,14 +86,15 @@ class DCMCS3DI(nn.Module):
         if inference and use_pallas:
             from color_transfer_tpu.ops.row_attention import fused_parallax_inference
 
-            head_l = self.matcher.head(fea_left)
-            head_r = self.matcher.head(fea_right)
+            head = self.matcher.head(jnp.concatenate([fea_left, fea_right], axis=0))
+            q_l, q_r = jnp.split(self.matcher.query(head), 2, axis=0)
+            k_l, k_r = jnp.split(self.matcher.key(head), 2, axis=0)
             warped, valid_mask_left = fused_parallax_inference(
-                q_l=self.matcher.query(head_l),
-                k_r=self.matcher.key(head_r),
+                q_l=q_l,
+                k_r=k_r,
                 v_r=self.matcher.value(fea_right),
-                q_r=self.matcher.query(head_r),
-                k_l=self.matcher.key(head_l),
+                q_r=q_r,
+                k_l=k_l,
                 scale=1.0 / self.channels,
                 interpret=pallas_interpret,
                 precise=pallas_precise,
@@ -146,13 +147,14 @@ class DCMCS3DI(nn.Module):
         fea = self.extraction(jnp.concatenate([left, right], axis=0))
         fea_left, fea_right = jnp.split(fea, 2, axis=0)
         head = self.matcher.head(jnp.concatenate([fea_left, fea_right], axis=0))
-        head_l, head_r = jnp.split(head, 2, axis=0)
+        q_l, q_r = jnp.split(self.matcher.query(head), 2, axis=0)
+        k_l, k_r = jnp.split(self.matcher.key(head), 2, axis=0)
 
         warped_v, mask_l, _, pam = chunked_parallax_train(
-            self.matcher.query(head_l),
-            self.matcher.key(head_l),
-            self.matcher.query(head_r),
-            self.matcher.key(head_r),
+            q_l,
+            k_l,
+            q_r,
+            k_r,
             self.matcher.value(fea_right),
             left,
             right,

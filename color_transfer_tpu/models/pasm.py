@@ -31,13 +31,13 @@ class PAB(nn.Module):
 
     def __call__(self, x_left, x_right):
         c = self.channels
-        fea_left = self.head(x_left)
-        fea_right = self.head(x_right)
-
-        q_l = self.query(fea_left)
-        k_r = self.key(fea_right)
-        q_r = self.query(fea_right)
-        k_l = self.key(fea_left)
+        # Shared weights -> both views ride one batch-concatenated pass
+        # through the head and each 1x1 projection (3 conv dispatches
+        # instead of 6; batch rows are independent so numerics are
+        # identical to per-view application).
+        fea = self.head(jnp.concatenate([x_left, x_right], axis=0))
+        q_l, q_r = jnp.split(self.query(fea), 2, axis=0)
+        k_l, k_r = jnp.split(self.key(fea), 2, axis=0)
 
         # Row-wise QK^T over the width axis, scaled by channel count
         # (reference pasmnet/attention.py:39-46).
