@@ -25,12 +25,13 @@ class Extractor(nn.Module):
 
     channels: int = 64
     layers: int = 18
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.channels)(x)
+        x = Conv(self.channels, dtype=self.dtype)(x)
         for _ in range(self.layers):
-            x = ResB(self.channels)(x)
+            x = ResB(self.channels, dtype=self.dtype)(x)
         return x
 
 
@@ -40,25 +41,42 @@ class TransferNet(nn.Module):
 
     channels: int = 64
     layers: int = 6
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.channels, kernel_size=1)(x)
+        x = Conv(self.channels, kernel_size=1, dtype=self.dtype)(x)
         for _ in range(self.layers):
-            x = ResB(self.channels)(x)
-        x = Conv(self.channels // 2)(x)
-        return Conv(3)(x)
+            x = ResB(self.channels, dtype=self.dtype)(x)
+        x = Conv(self.channels // 2, dtype=self.dtype)(x)
+        return Conv(3, dtype=self.dtype)(x)
 
 
 class DCMCS3DI(nn.Module):
+    """``compute_dtype`` is the opt-in mixed-precision recipe: extraction and
+    transfer convs run in that dtype (params stay float32), while the matcher
+    — cost-volume statistics, softmax, PAM losses — stays float32. Default
+    None is the bit-strict float32 path the parity suite pins."""
+
     extraction_layers: int = 18
     transfer_layers: int = 6
     channels: int = 64
+    compute_dtype: jnp.dtype = None
 
     def setup(self):
-        self.extraction = Extractor(self.channels, self.extraction_layers)
+        self.extraction = Extractor(
+            self.channels, self.extraction_layers, dtype=self.compute_dtype
+        )
         self.matcher = pasm.PAB(self.channels)
-        self.transfer = TransferNet(self.channels, self.transfer_layers)
+        self.transfer = TransferNet(
+            self.channels, self.transfer_layers, dtype=self.compute_dtype
+        )
+
+    def _extract(self, left, right):
+        """Siamese extraction; features return to float32 at the matcher
+        boundary so attention/mask statistics are dtype-independent."""
+        fea = self.extraction(jnp.concatenate([left, right], axis=0))
+        return jnp.split(fea.astype(jnp.float32), 2, axis=0)
 
     def __call__(self, left, right, inference=False, use_pallas=False,
                  pallas_interpret=False, pallas_precise=False, valid_w=None):
@@ -80,8 +98,7 @@ class DCMCS3DI(nn.Module):
         # Shared-weight siamese extraction via batch concat — one conv stack
         # pass for both views (the batch-dim trick the reference uses in its
         # matcher, unimatch/unimatch.py:68).
-        fea = self.extraction(jnp.concatenate([left, right], axis=0))
-        fea_left, fea_right = jnp.split(fea, 2, axis=0)
+        fea_left, fea_right = self._extract(left, right)
 
         if inference and use_pallas:
             from color_transfer_tpu.ops.row_attention import fused_parallax_inference
@@ -103,7 +120,7 @@ class DCMCS3DI(nn.Module):
             corrected = self.transfer(
                 jnp.concatenate([fea_left, warped, mask], axis=-1)
             )
-            return jnp.clip(corrected, 0.0, 1.0), (
+            return jnp.clip(corrected.astype(jnp.float32), 0.0, 1.0), (
                 (None, None),
                 (None, None),
                 (valid_mask_left, None),
@@ -125,7 +142,7 @@ class DCMCS3DI(nn.Module):
             jnp.concatenate([fea_left, fea_warped_right, mask], axis=-1)
         )
 
-        return jnp.clip(corrected, 0.0, 1.0), (
+        return jnp.clip(corrected.astype(jnp.float32), 0.0, 1.0), (
             att,
             att_cycle,
             valid_mask,
@@ -144,8 +161,7 @@ class DCMCS3DI(nn.Module):
         """
         from color_transfer_tpu.ops.parallax_train import chunked_parallax_train
 
-        fea = self.extraction(jnp.concatenate([left, right], axis=0))
-        fea_left, fea_right = jnp.split(fea, 2, axis=0)
+        fea_left, fea_right = self._extract(left, right)
         head = self.matcher.head(jnp.concatenate([fea_left, fea_right], axis=0))
         q_l, q_r = jnp.split(self.matcher.query(head), 2, axis=0)
         k_l, k_r = jnp.split(self.matcher.key(head), 2, axis=0)
@@ -166,7 +182,7 @@ class DCMCS3DI(nn.Module):
                 [fea_left, warped_v, mask_l.astype(fea_left.dtype)], axis=-1
             )
         )
-        return jnp.clip(corrected, 0.0, 1.0), pam
+        return jnp.clip(corrected.astype(jnp.float32), 0.0, 1.0), pam
 
 
 def compute_losses(model_out, batch):

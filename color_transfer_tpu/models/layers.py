@@ -31,13 +31,18 @@ def torch_conv_bias_init(fan_in):
 
 class Conv(nn.Module):
     """Conv2d with torch-default init; 'same' zero padding like the
-    reference's padding=k//2 convs."""
+    reference's padding=k//2 convs.
+
+    ``dtype`` is the flax compute dtype: params stay float32 and are cast
+    (with the input) to ``dtype`` for the conv itself — the standard TPU
+    mixed-precision recipe. None (default) keeps bit-strict float32."""
 
     features: int
     kernel_size: int = 3
     strides: int = 1
     use_bias: bool = True
     dilation: int = 1
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -54,6 +59,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_conv_bias_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -62,12 +68,13 @@ class ResB(nn.Module):
     (reference pasmnet/backbone.py:4-15; torch LeakyReLU slope 0.01)."""
 
     channels: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
-        y = Conv(self.channels)(x)
+        y = Conv(self.channels, dtype=self.dtype)(x)
         y = nn.leaky_relu(y, negative_slope=0.01)
-        y = Conv(self.channels)(y)
+        y = Conv(self.channels, dtype=self.dtype)(y)
         return x + y
 
 

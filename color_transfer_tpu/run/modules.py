@@ -53,11 +53,18 @@ class DCMCS3DIModule:
 
     def __init__(self, extraction_layers=18, transfer_layers=6, channels=64,
                  learning_rate=1e-4, heavy_metrics=True,
-                 fused_attention=True, attention_chunk=8):
+                 fused_attention=True, attention_chunk=8,
+                 compute_dtype=None):
+        # compute_dtype ("bfloat16" opt-in; None = bit-strict f32): the
+        # mixed-precision recipe for the conv stacks — params, matcher
+        # statistics and losses stay float32 (models/dcmcs3di.py).
         self.model = DCMCS3DI(
             extraction_layers=extraction_layers,
             transfer_layers=transfer_layers,
             channels=channels,
+            compute_dtype=(
+                jnp.dtype(compute_dtype) if compute_dtype is not None else None
+            ),
         )
         self.learning_rate = learning_rate
         self.heavy_metrics = heavy_metrics
@@ -74,6 +81,7 @@ class DCMCS3DIModule:
             "channels": channels,
             "learning_rate": learning_rate,
             "fused_attention": fused_attention,
+            "compute_dtype": compute_dtype,
         }
 
     def make_optimizer(self, num_train_steps=None):
