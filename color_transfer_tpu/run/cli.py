@@ -6,6 +6,12 @@
         --model.func_spec methods.linear.color_transfer_between_images
     python -m color_transfer_tpu.cli test --config configs/dcmcs3di.yaml \
         --ckpt_path runs/dcmcs3di/checkpoints/best --trainer.logger false
+
+plus a serving subcommand the reference lacks (run/predict.py):
+
+    python -m color_transfer_tpu.cli predict --method dmsct \
+        --ckpt_path runs/dmsct/checkpoints/best \
+        --input_dir "Real-World Dataset/Test" --output_dir corrected/
 """
 
 import argparse
@@ -17,7 +23,9 @@ from color_transfer_tpu.run.config import load_config, build_from_config
 
 def _parse(argv):
     parser = argparse.ArgumentParser(prog="color_transfer_tpu.cli")
-    parser.add_argument("subcommand", choices=["fit", "test", "validate"])
+    parser.add_argument(
+        "subcommand", choices=["fit", "test", "validate", "predict"]
+    )
     parser.add_argument("--config", default=None)
     parser.add_argument("--ckpt_path", default=None)
     parser.add_argument("--log_dir", default=None)
@@ -27,6 +35,16 @@ def _parse(argv):
         help="pad eval shapes to this multiple: O(buckets) compiles for "
              "mixed-shape sweeps (run/bucketing.py)",
     )
+    # predict-only arguments (run/predict.py)
+    parser.add_argument("--method", default=None,
+                        help="predict: registry/deep method name (defaults "
+                             "to the config's model class_path)")
+    parser.add_argument("--target", default=None)
+    parser.add_argument("--reference", default=None)
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--input_dir", default=None)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--batch_size", type=int, default=8)
     args, unknown = parser.parse_known_args(argv)
 
     overrides = {}
@@ -52,6 +70,26 @@ def _parse(argv):
 def main(argv=None):
     args, overrides = _parse(argv if argv is not None else sys.argv[1:])
     cfg = load_config(args.config, overrides)
+
+    if args.subcommand == "predict":
+        # Serving path: no datamodule/trainer needed. Method comes from
+        # --method or the config's model section (class_path, or the
+        # classical func_spec knob).
+        from color_transfer_tpu.run.predict import run_predict
+
+        model_cfg = cfg.get("model", {}) or {}
+        init_args = dict(model_cfg.get("init_args", {}))
+        if args.method is None:
+            class_path = model_cfg.get("class_path")
+            if class_path in (None, "classical"):
+                args.method = init_args.pop("func_spec", None) or (
+                    "monge_kantorovitch"
+                )
+            else:
+                args.method = class_path
+        deep = args.method in ("dcmcs3di", "dmsct")
+        return run_predict(args, init_args if deep else None)
+
     module, datamodule, trainer = build_from_config(cfg, log_dir=args.log_dir)
 
     if datamodule is None:
