@@ -1,7 +1,8 @@
 """Demo — the reference demo.ipynb as a script.
 
-Runs all six color-transfer methods on one stereopair with a hue-shift
-distortion (+0.5, the notebook's distortion; reference demo.ipynb cells 6-26)
+Runs the five classical color-transfer methods on one stereopair with a
+hue-shift distortion (+0.5, the notebook's distortion; reference demo.ipynb
+cells 6-26) — plus the two deep correctors when checkpoint dirs are given —
 and reports PSNR/SSIM/FSIM/iCID for each, plus optional output panels.
 
     python -m examples.demo --left path/_L.png --right path/_R.png \
@@ -24,13 +25,17 @@ from color_transfer_tpu.data import distortions
 from color_transfer_tpu.data.native_loader import read_image
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--left", required=True, help="gt left view (*_L.png)")
     parser.add_argument("--right", required=True, help="reference right view")
     parser.add_argument("--hue", type=float, default=0.5)
     parser.add_argument("--out", default=None, help="directory for output PNGs")
-    args = parser.parse_args()
+    parser.add_argument("--dcmcs3di", default=None,
+                        help="checkpoint dir: also run the DCMCS3DI corrector")
+    parser.add_argument("--dmsct", default=None,
+                        help="checkpoint dir: also run the DMSCT corrector")
+    args = parser.parse_args(argv)
 
     gt = jnp.asarray(read_image(args.left), dtype=jnp.float32) / 255.0
     reference = jnp.asarray(read_image(args.right), dtype=jnp.float32) / 255.0
@@ -47,6 +52,19 @@ def main():
     for name in names:
         fn = methods.get_method(name)
         results[name] = jnp.clip(fn(target, reference), 0.0, 1.0)
+
+    # Deep correctors at full resolution (reference demo.ipynb cells 24/26
+    # downscale 0.75x to fit GPU memory; the Pallas attention path doesn't
+    # need to). Checkpoints are optional — without one the flags are skipped.
+    for name, ckpt in [("dcmcs3di", args.dcmcs3di), ("dmsct", args.dmsct)]:
+        if ckpt is None:
+            continue
+        from color_transfer_tpu.methods.video import color_transfer_between_videos
+
+        results[name] = color_transfer_between_videos(
+            target[None], reference[None], method=name, ckpt_path=ckpt,
+            batch_size=1,
+        )[0]
 
     print(f"{'method':28s} {'PSNR':>7s} {'SSIM':>7s} {'FSIM':>7s} {'iCID':>7s}")
     for name, out in results.items():
