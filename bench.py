@@ -9,6 +9,7 @@ north-star is >=300 fps on a v5e-8 slice, i.e. 37.5 frames/sec/chip —
 Secondary benches (other methods, deep models as they land) print to stderr.
 """
 
+import functools
 import json
 import sys
 import time
@@ -130,12 +131,62 @@ def check_idt_kernel_integrity():
     print("[bench] idt kernel integrity: compiled == interpret", file=sys.stderr)
 
 
+def check_local_corr_kernel_integrity():
+    """Compiled-vs-interpret agreement of both local-correlation Pallas
+    schedules (ops/local_corr.py) on the real chip — the same guard the IDT
+    kernel has: a toolchain update that miscompiles either schedule shows up
+    here instead of as silent flow drift inside the frozen matcher."""
+    from color_transfer_tpu.ops.local_corr import (
+        local_correlation_with_flow_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    b, h, w, c, r = 1, 16, 128, 128, 4
+    f0 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-3, 3, (b, h, w, 2)).astype(np.float32))
+    for variant in ("vpu", "mxu"):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            kw = dict(
+                local_radius=r, corr_dtype=dtype, p_blk=256, variant=variant
+            )
+            compiled = np.asarray(
+                jax.jit(
+                    functools.partial(local_correlation_with_flow_pallas, **kw)
+                )(f0, f1, flow)
+            )
+            interp = np.asarray(
+                local_correlation_with_flow_pallas(
+                    f0, f1, flow, interpret=True, **kw
+                )
+            )
+            # f32 products accumulate identically; tolerance covers the
+            # different-order window sums only.
+            bad = np.abs(compiled - interp) > 5e-4 * c
+            assert not bad.any(), (
+                f"local-corr {variant}/{np.dtype(dtype).name}: "
+                f"{bad.mean():.5%} of elements diverge compiled-vs-interpret"
+            )
+    print(
+        "[bench] local-corr kernel integrity: compiled == interpret "
+        "(vpu+mxu, f32+bf16)",
+        file=sys.stderr,
+    )
+
+
 def main():
     results = {}
     try:
         check_idt_kernel_integrity()
     except Exception as e:  # noqa: BLE001
         print(f"[bench] IDT KERNEL INTEGRITY FAILURE: {e}", file=sys.stderr)
+    try:
+        check_local_corr_kernel_integrity()
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"[bench] LOCAL-CORR KERNEL INTEGRITY FAILURE: {e}",
+            file=sys.stderr,
+        )
     for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
         try:
             results[name] = bench_classical(name)
