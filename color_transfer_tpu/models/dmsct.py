@@ -48,6 +48,10 @@ class DMSCT(nn.Module):
     # the mini 31-distortion protocol gate (PERF.md).
     matcher_corr_dtype: str = "float32"
     matcher_compute_dtype: str = None  # None = float32 everywhere
+    # Mixed precision for the trainable corrector (encoder/decoder/head
+    # convs in this dtype, f32 params): BatchNorm statistics, the SE global
+    # mean, the flow warp and the residual add stay float32.
+    corrector_compute_dtype: str = None
 
     def setup(self):
         self.matcher = GMFlow(
@@ -60,11 +64,17 @@ class DMSCT(nn.Module):
                 else None
             ),
         )
-        self.encoder = EfficientNetEncoder(
-            name_variant=self.encoder_name, depth=self.encoder_depth
+        corr_dt = (
+            jnp.dtype(self.corrector_compute_dtype).type
+            if self.corrector_compute_dtype
+            else None
         )
-        self.decoder = UnetDecoder(tuple(self.decoder_channels))
-        self.head = SegmentationHead(3)
+        self.encoder = EfficientNetEncoder(
+            name_variant=self.encoder_name, depth=self.encoder_depth,
+            dtype=corr_dt,
+        )
+        self.decoder = UnetDecoder(tuple(self.decoder_channels), dtype=corr_dt)
+        self.head = SegmentationHead(3, dtype=corr_dt)
 
     def __call__(self, target, reference, train=False):
         """target/reference: (B, H, W, 3) in [0, 1], NHWC. Returns the
@@ -105,6 +115,11 @@ class DMSCT(nn.Module):
         for idx, (feat_t, feat_r) in enumerate(
             zip(features_target, features_reference)
         ):
+            # The warp gather/scatter (custom-VJP Pallas adjoint) runs f32;
+            # the decoder re-casts its inputs under the mixed-precision
+            # recipe, so this boundary costs one cast, not precision.
+            feat_t = feat_t.astype(jnp.float32)
+            feat_r = feat_r.astype(jnp.float32)
             flow_idx = upsample_flow_bilinear(flow, 2.0**-idx) if idx else flow
             # custom-VJP warp: the feature cotangent scatters in a Pallas
             # kernel (XLA's serialized scatter costs ~2.4 s/step here).
@@ -122,7 +137,7 @@ class DMSCT(nn.Module):
             )
             features.append(jnp.concatenate([feat_t, warped, occ_idx], axis=-1))
 
-        residual = self.head(self.decoder(*features))
+        residual = self.head(self.decoder(*features)).astype(jnp.float32)
         corrected = target + residual[:, :height, :width, :]
         return jnp.clip(corrected, 0.0, 1.0)
 

@@ -71,13 +71,17 @@ def encoder_out_channels(name="efficientnet-b2", depth=4):
 
 class _BN(nn.Module):
     use_running_average: bool = True
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
+        # flax computes the batch statistics in float32 regardless of dtype;
+        # only the normalized output is cast.
         return nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.99,
             epsilon=1e-3,
+            dtype=self.dtype,
         )(x)
 
 
@@ -89,14 +93,16 @@ class MBConv(nn.Module):
     expand: int
     se_ratio: float = 0.25
     drop_rate: float = 0.0
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, train=False):
         inp = x
         filters = self.in_filters * self.expand
         if self.expand != 1:
-            x = nn.Conv(filters, (1, 1), use_bias=False, name="expand_conv")(x)
-            x = _BN(not train, name="bn0")(x)
+            x = nn.Conv(filters, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(x)
+            x = _BN(not train, dtype=self.dtype, name="bn0")(x)
             x = nn.silu(x)
 
         # Depthwise conv
@@ -108,20 +114,27 @@ class MBConv(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=filters,
             use_bias=False,
+            dtype=self.dtype,
             name="depthwise_conv",
         )(x)
-        x = _BN(not train, name="bn1")(x)
+        x = _BN(not train, dtype=self.dtype, name="bn1")(x)
         x = nn.silu(x)
 
-        # Squeeze-excite on the block's input filter count.
+        # Squeeze-excite on the block's input filter count. The global mean
+        # accumulates in f32 (a bf16 mean over H*W pixels loses precision).
         se_filters = max(1, int(self.in_filters * self.se_ratio))
-        se = jnp.mean(x, axis=(1, 2), keepdims=True)
-        se = nn.silu(nn.Conv(se_filters, (1, 1), name="se_reduce")(se))
-        se = nn.sigmoid(nn.Conv(filters, (1, 1), name="se_expand")(se))
+        se = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        if self.dtype is not None:
+            se = se.astype(self.dtype)
+        se = nn.silu(nn.Conv(se_filters, (1, 1), dtype=self.dtype,
+                             name="se_reduce")(se))
+        se = nn.sigmoid(nn.Conv(filters, (1, 1), dtype=self.dtype,
+                                name="se_expand")(se))
         x = x * se
 
-        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
-        x = _BN(not train, name="bn2")(x)
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(x)
+        x = _BN(not train, dtype=self.dtype, name="bn2")(x)
 
         if self.stride == 1 and self.in_filters == self.out_filters:
             if train and self.drop_rate > 0:
@@ -141,6 +154,7 @@ class EfficientNetEncoder(nn.Module):
     name_variant: str = "efficientnet-b2"
     depth: int = 4
     drop_connect_rate: float = 0.2
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -149,8 +163,8 @@ class EfficientNetEncoder(nn.Module):
 
         stem = round_filters(32, width)
         y = nn.Conv(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, name="stem_conv")(x)
-        y = _BN(not train, name="stem_bn")(y)
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        y = _BN(not train, dtype=self.dtype, name="stem_bn")(y)
         y = nn.silu(y)
         # smp taps the stem output as the reduction-2 feature
         # (get_stages() stage 1 = _conv_stem + _bn0 + _swish).
@@ -177,6 +191,7 @@ class EfficientNetEncoder(nn.Module):
                     stride=s if r == 0 else 1,
                     expand=e,
                     drop_rate=self.drop_connect_rate * block_idx / total_blocks,
+                    dtype=self.dtype,
                     name=f"stage{stage_idx}_block{r}",
                 )(y, train=train)
                 in_filters = out_filters

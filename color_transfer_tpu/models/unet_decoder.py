@@ -25,19 +25,25 @@ def _upsample2x_nearest(x):
 
 class DecoderBlock(nn.Module):
     out_channels: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, skip=None):
         x = _upsample2x_nearest(x)
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
-        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(x))
-        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(x))
+            if self.dtype is not None:
+                skip = skip.astype(self.dtype)
+            x = jnp.concatenate([x.astype(skip.dtype), skip], axis=-1)
+        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1,
+                            dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1,
+                            dtype=self.dtype, name="conv2")(x))
         return x
 
 
 class UnetDecoder(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32)
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, *features):
@@ -46,13 +52,15 @@ class UnetDecoder(nn.Module):
         skips = feats[1:]
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            x = DecoderBlock(ch, name=f"block{i}")(x, skip)
+            x = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(x, skip)
         return x
 
 
 class SegmentationHead(nn.Module):
     out_channels: int = 3
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)

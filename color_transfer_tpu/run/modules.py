@@ -290,6 +290,7 @@ class DMSCTModule:
         matcher_num_reg_refine=6,
         matcher_corr_dtype="float32",
         matcher_compute_dtype=None,
+        corrector_compute_dtype=None,
     ):
         from color_transfer_tpu.models.dmsct import DMSCT
 
@@ -302,6 +303,7 @@ class DMSCTModule:
             matcher_num_reg_refine=matcher_num_reg_refine,
             matcher_corr_dtype=matcher_corr_dtype,
             matcher_compute_dtype=matcher_compute_dtype,
+            corrector_compute_dtype=corrector_compute_dtype,
         )
         self.learning_rate = learning_rate
         self.eta_min = eta_min
@@ -313,6 +315,7 @@ class DMSCTModule:
             "encoder_depth": encoder_depth,
             "decoder_channels": list(decoder_channels),
             "learning_rate": learning_rate,
+            "corrector_compute_dtype": corrector_compute_dtype,
         }
 
     def make_optimizer(self, num_train_steps=None):

@@ -78,6 +78,68 @@ class TestDMSCTModel:
         assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
 
 
+class TestCorrectorMixedPrecision:
+    """corrector_compute_dtype: bf16 encoder/decoder/head convs, f32 params,
+    f32 BN statistics, f32 warp boundary and residual add."""
+
+    def _pair(self, rng, b=1, h=32, w=32):
+        t = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        r = jnp.clip(t * 0.9 + 0.03, 0, 1)
+        return t, r
+
+    def test_bf16_corrector_tracks_f32_with_shared_weights(self, rng):
+        kwargs = dict(matcher_num_layers=1, matcher_num_reg_refine=1)
+        f32 = DMSCT(**kwargs)
+        bf16 = DMSCT(**kwargs, corrector_compute_dtype="bfloat16")
+        t, r = self._pair(rng)
+        keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        variables = f32.init(keys, t, r)
+        # Param tree is dtype-independent (params stay f32): the bf16 model
+        # applies the SAME variables.
+        out_a = np.asarray(f32.apply(variables, t, r))
+        out_b = np.asarray(bf16.apply(variables, t, r))
+        assert out_b.dtype == np.float32
+        assert np.isfinite(out_b).all()
+        # [0,1] image output through a shallow random-init corrector should
+        # track f32 to bf16 resolution.
+        assert np.max(np.abs(out_a - out_b)) < 0.05
+        assert not np.array_equal(out_a, out_b)  # the knob engages
+
+    def test_default_path_is_bit_strict(self, rng):
+        kwargs = dict(matcher_num_layers=1, matcher_num_reg_refine=1)
+        a = DMSCT(**kwargs)
+        b = DMSCT(**kwargs, corrector_compute_dtype=None)
+        t, r = self._pair(rng)
+        keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        variables = a.init(keys, t, r)
+        np.testing.assert_array_equal(
+            np.asarray(a.apply(variables, t, r)),
+            np.asarray(b.apply(variables, t, r)),
+        )
+
+    def test_bf16_train_step_updates_and_keeps_f32_params(self, rng):
+        module = DMSCTModule(
+            heavy_metrics=False, matcher_num_layers=1,
+            matcher_num_reg_refine=1, corrector_compute_dtype="bfloat16",
+        )
+        gt = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        batch = {"gt": gt, "reference": jnp.clip(gt * 0.9 + 0.03, 0, 1)}
+        state = module.init_state(jax.random.PRNGKey(0), batch, num_train_steps=10)
+        params_before = jax.tree_util.tree_map(np.asarray, state.params)
+        new_state, logs = module.train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(logs["Training Total Loss"]))
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        assert all(a.dtype == jnp.float32 for a in leaves)
+        diffs = [
+            np.abs(np.asarray(a) - b).max()
+            for a, b in zip(
+                jax.tree_util.tree_leaves(new_state.params["encoder"]),
+                jax.tree_util.tree_leaves(params_before["encoder"]),
+            )
+        ]
+        assert max(diffs) > 0
+
+
 class TestDMSCTModule:
     def test_train_step_updates_corrector_not_matcher(self, rng):
         module = DMSCTModule(
