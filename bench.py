@@ -53,12 +53,16 @@ def bench_classical(name, batch=8, iters=16):
     return batch / dt
 
 
-def bench_dcmcs3di(iters=4):
+def bench_dcmcs3di(iters=4, compute_dtype=None):
     """Full-size DCMCS3DI 1080p inference through the fused Pallas matcher
-    (the reference cannot run full-res at all — demo.ipynb cell 24)."""
+    (the reference cannot run full-res at all — demo.ipynb cell 24).
+    compute_dtype="bfloat16" measures the opt-in mixed-precision recipe
+    (configs/dcmcs3di.yaml) — extraction/transfer convs bf16, matcher f32."""
     from color_transfer_tpu.models.dcmcs3di import DCMCS3DI
 
-    model = DCMCS3DI()
+    model = DCMCS3DI(
+        compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else None
+    )
     left = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
     right = jnp.clip(left * 0.95 + 0.01, 0, 1)
     params = model.init(jax.random.PRNGKey(0), left[:, :32, :64], right[:, :32, :64])
@@ -75,12 +79,22 @@ def bench_dcmcs3di(iters=4):
     return 1.0 / ((time.perf_counter() - start) / iters)
 
 
-def bench_dmsct(iters=6):
+def bench_dmsct(iters=6, recipe=False):
     """DMSCT 1080p inference (matcher capped at 512x896 per the reference's
-    resolution policy, corrector at full res)."""
+    resolution policy, corrector at full res). recipe=True measures the
+    parity-gated throughput settings (configs/dmsct.yaml: bf16 matcher
+    correlation/compute) plus the opt-in bf16 corrector."""
     from color_transfer_tpu.models.dmsct import DMSCT
 
-    model = DMSCT()
+    model = DMSCT(**(
+        dict(
+            matcher_corr_dtype="bfloat16",
+            matcher_compute_dtype="bfloat16",
+            corrector_compute_dtype="bfloat16",
+        )
+        if recipe
+        else {}
+    ))
     t = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
     r = jnp.clip(t * 0.95 + 0.01, 0, 1)
     params = model.init(
@@ -211,6 +225,14 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dcmcs3di failed: {e}", file=sys.stderr)
     try:
+        fps = bench_dcmcs3di(compute_dtype="bfloat16")
+        print(
+            f"[bench] dcmcs3di full-res bf16 recipe: {fps:.2f} 1080p frames/sec",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] dcmcs3di bf16 failed: {e}", file=sys.stderr)
+    try:
         results["dmsct"] = bench_dmsct()
         print(
             f"[bench] dmsct full-res: {results['dmsct']:.2f} 1080p frames/sec",
@@ -218,6 +240,14 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dmsct failed: {e}", file=sys.stderr)
+    try:
+        fps = bench_dmsct(recipe=True)
+        print(
+            f"[bench] dmsct full-res bf16 recipe: {fps:.2f} 1080p frames/sec",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] dmsct bf16 recipe failed: {e}", file=sys.stderr)
 
     headline = results.get("monge_kantorovitch", 0.0)
     print(
