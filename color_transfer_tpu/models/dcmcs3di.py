@@ -26,12 +26,17 @@ class Extractor(nn.Module):
     channels: int = 64
     layers: int = 18
     dtype: jnp.dtype = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv(self.channels, dtype=self.dtype)(x)
-        for _ in range(self.layers):
-            x = ResB(self.channels, dtype=self.dtype)(x)
+        # Explicit names keep the param tree identical with/without remat
+        # (nn.remat would otherwise rename ResB_i -> CheckpointResB_i and
+        # break checkpoint portability).
+        block = nn.remat(ResB) if self.remat else ResB
+        for i in range(self.layers):
+            x = block(self.channels, dtype=self.dtype, name=f"ResB_{i}")(x)
         return x
 
 
@@ -42,12 +47,14 @@ class TransferNet(nn.Module):
     channels: int = 64
     layers: int = 6
     dtype: jnp.dtype = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv(self.channels, kernel_size=1, dtype=self.dtype)(x)
-        for _ in range(self.layers):
-            x = ResB(self.channels, dtype=self.dtype)(x)
+        block = nn.remat(ResB) if self.remat else ResB
+        for i in range(self.layers):
+            x = block(self.channels, dtype=self.dtype, name=f"ResB_{i}")(x)
         x = Conv(self.channels // 2, dtype=self.dtype)(x)
         return Conv(3, dtype=self.dtype)(x)
 
@@ -62,14 +69,21 @@ class DCMCS3DI(nn.Module):
     transfer_layers: int = 6
     channels: int = 64
     compute_dtype: jnp.dtype = None
+    # Rematerialize the ResB stacks on the backward pass (jax.checkpoint):
+    # activation memory drops from O(layers) to O(1) conv outputs, buying
+    # larger crops/batches for one extra forward's FLOPs. Param-tree and
+    # bitwise output identical either way.
+    remat_convs: bool = False
 
     def setup(self):
         self.extraction = Extractor(
-            self.channels, self.extraction_layers, dtype=self.compute_dtype
+            self.channels, self.extraction_layers, dtype=self.compute_dtype,
+            remat=self.remat_convs,
         )
         self.matcher = pasm.PAB(self.channels)
         self.transfer = TransferNet(
-            self.channels, self.transfer_layers, dtype=self.compute_dtype
+            self.channels, self.transfer_layers, dtype=self.compute_dtype,
+            remat=self.remat_convs,
         )
 
     def _extract(self, left, right):

@@ -54,10 +54,12 @@ class DCMCS3DIModule:
     def __init__(self, extraction_layers=18, transfer_layers=6, channels=64,
                  learning_rate=1e-4, heavy_metrics=True,
                  fused_attention=True, attention_chunk=8,
-                 compute_dtype=None):
+                 compute_dtype=None, remat_convs=False):
         # compute_dtype ("bfloat16" opt-in; None = bit-strict f32): the
         # mixed-precision recipe for the conv stacks — params, matcher
         # statistics and losses stay float32 (models/dcmcs3di.py).
+        # remat_convs trades one extra forward for O(1) activation memory
+        # in the ResB stacks (large-crop/full-res training).
         self.model = DCMCS3DI(
             extraction_layers=extraction_layers,
             transfer_layers=transfer_layers,
@@ -65,6 +67,7 @@ class DCMCS3DIModule:
             compute_dtype=(
                 jnp.dtype(compute_dtype) if compute_dtype is not None else None
             ),
+            remat_convs=remat_convs,
         )
         self.learning_rate = learning_rate
         self.heavy_metrics = heavy_metrics
@@ -82,6 +85,7 @@ class DCMCS3DIModule:
             "learning_rate": learning_rate,
             "fused_attention": fused_attention,
             "compute_dtype": compute_dtype,
+            "remat_convs": remat_convs,
         }
 
     def make_optimizer(self, num_train_steps=None):

@@ -192,3 +192,46 @@ class TestDCMCS3DIMixedPrecision:
             not np.array_equal(np.asarray(a), b)
             for a, b in zip(new_params, old_params)
         )
+
+
+class TestRematConvs:
+    """remat_convs: same param tree, bitwise-equal forward, equal grads —
+    only the backward's memory schedule changes."""
+
+    def test_remat_matches_no_remat(self, rng):
+        from color_transfer_tpu.models.dcmcs3di import DCMCS3DI, compute_losses
+
+        kwargs = dict(extraction_layers=2, transfer_layers=1, channels=8)
+        plain = DCMCS3DI(**kwargs)
+        remat = DCMCS3DI(**kwargs, remat_convs=True)
+        left = jnp.asarray(rng.uniform(0, 1, (1, 16, 32, 3)).astype(np.float32))
+        right = jnp.clip(left * 0.9 + 0.02, 0, 1)
+        params = plain.init(jax.random.PRNGKey(0), left, right)
+        params_r = remat.init(jax.random.PRNGKey(0), left, right)
+        for a, b in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(params_r),
+        ):
+            assert a[0] == b[0]  # identical tree paths (checkpoint compat)
+            np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+        out_a = plain.apply(params, left, right)[0]
+        out_b = remat.apply(params_r, left, right)[0]
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+        batch = {"gt": left, "target": left, "reference": right}
+
+        def loss(model):
+            def f(p):
+                out = model.apply(p, batch["target"], batch["reference"])
+                return compute_losses(out, batch)[0]
+            return f
+
+        ga = jax.grad(loss(plain))(params)
+        gb = jax.grad(loss(remat))(params_r)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
