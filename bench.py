@@ -225,7 +225,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dcmcs3di failed: {e}", file=sys.stderr)
     try:
-        fps = bench_dcmcs3di(compute_dtype="bfloat16")
+        fps = results["dcmcs3di_bf16"] = bench_dcmcs3di(compute_dtype="bfloat16")
         print(
             f"[bench] dcmcs3di full-res bf16 recipe: {fps:.2f} 1080p frames/sec",
             file=sys.stderr,
@@ -241,7 +241,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dmsct failed: {e}", file=sys.stderr)
     try:
-        fps = bench_dmsct(recipe=True)
+        fps = results["dmsct_bf16_recipe"] = bench_dmsct(recipe=True)
         print(
             f"[bench] dmsct full-res bf16 recipe: {fps:.2f} 1080p frames/sec",
             file=sys.stderr,

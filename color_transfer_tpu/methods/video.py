@@ -37,20 +37,9 @@ def _build_deep(method, ckpt_path, module, variables, module_kwargs, sample):
     if module is None:
         module = build_module(method, module_kwargs or {})
     if variables is None and ckpt_path is not None:
-        from color_transfer_tpu.run.checkpoint import load_checkpoint
+        from color_transfer_tpu.run.checkpoint import restore_eval_variables
 
-        state = module.init_state(jax.random.PRNGKey(0), sample)
-        target = {"params": state.params, "opt_state": state.opt_state}
-        if getattr(state, "batch_stats", None):
-            target["batch_stats"] = state.batch_stats
-        restored, _ = load_checkpoint(ckpt_path, target=target)
-        if "batch_stats" in restored:
-            variables = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
-        else:
-            variables = restored["params"]
+        variables = restore_eval_variables(module, ckpt_path, sample)
     if variables is None:
         variables = module.init_eval_variables(jax.random.PRNGKey(0), sample)
     return module, variables

@@ -268,7 +268,11 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
-                 attn_type="swin", is_self=True):
+                 attn_type="swin", *, is_self):
+        # is_self is keyword-required: the fused projections compute K/V
+        # from `source` when True and from `target` when False, so a caller
+        # silently inheriting a default would get wrong attention, not an
+        # error.
         init = nn.initializers.xavier_uniform()
 
         # q/k/v projections as explicit params with the same tree layout a
@@ -355,11 +359,13 @@ class TransformerBlock(nn.Module):
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
             dtype=self.dtype, name="self_attn",
-        )(source, source, h, w, with_shift, attn_num_splits, attn_type, True)
+        )(source, source, h, w, with_shift, attn_num_splits, attn_type,
+          is_self=True)
         source = TransformerLayer(
             self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
             dtype=self.dtype, name="cross_attn_ffn",
-        )(source, target, h, w, with_shift, attn_num_splits, attn_type, False)
+        )(source, target, h, w, with_shift, attn_num_splits, attn_type,
+          is_self=False)
         return source
 
 

@@ -77,3 +77,40 @@ def load_checkpoint(path, target=None):
     state = ckpt.restore(path / "state", target=target)
     meta = json.loads((path / "meta.json").read_text())
     return state, meta
+
+
+def restore_eval_variables(module, ckpt_path, sample):
+    """Restore a module's eval variables from a checkpoint directory.
+
+    The restore target's structure comes from a fresh ``init_state`` — on a
+    small spatial crop of ``sample``, since parameter/optimizer shapes are
+    resolution-independent and a full-resolution throwaway init would trace
+    the whole model at serving size just to learn the tree. Returns
+    ``{'params': ..., 'batch_stats': ...}`` (or bare params when the module
+    keeps no batch statistics), or None for a parameterless module — the
+    single implementation behind CLI test/validate and deep video serving.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    small = {
+        k: (
+            jnp.asarray(v[:1, : min(64, v.shape[1]), : min(64, v.shape[2])])
+            if hasattr(v, "ndim") and v.ndim == 4
+            else v
+        )
+        for k, v in sample.items()
+    }
+    state = module.init_state(jax.random.PRNGKey(0), small)
+    if state is None:
+        return None
+    target = {"params": state.params, "opt_state": state.opt_state}
+    if getattr(state, "batch_stats", None):
+        target["batch_stats"] = state.batch_stats
+    restored, _ = load_checkpoint(ckpt_path, target=target)
+    if "batch_stats" in restored:
+        return {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+    return restored["params"]

@@ -78,15 +78,20 @@ def main(argv=None):
         from color_transfer_tpu.run.predict import run_predict
 
         model_cfg = cfg.get("model", {}) or {}
+        class_path = model_cfg.get("class_path")
         init_args = dict(model_cfg.get("init_args", {}))
         if args.method is None:
-            class_path = model_cfg.get("class_path")
             if class_path in (None, "classical"):
                 args.method = init_args.pop("func_spec", None) or (
                     "monge_kantorovitch"
                 )
             else:
                 args.method = class_path
+        elif args.method != class_path:
+            # --method overrides the config's model: its init_args are
+            # constructor kwargs for a DIFFERENT class and must not leak
+            # into the requested module.
+            init_args = {}
         deep = args.method in ("dcmcs3di", "dmsct")
         return run_predict(args, init_args if deep else None)
 
@@ -101,10 +106,7 @@ def main(argv=None):
 
     params = None
     if args.ckpt_path is not None:
-        from color_transfer_tpu.run.checkpoint import load_checkpoint
-
-        # Restore with structure inferred from a fresh init.
-        import jax
+        from color_transfer_tpu.run.checkpoint import restore_eval_variables
 
         sample = None
         for loader in datamodule.test_loaders():
@@ -118,8 +120,8 @@ def main(argv=None):
             if "target" not in sample:
                 sample["target"] = sample["gt"]
             break
-        state = module.init_state(jax.random.PRNGKey(0), sample)
-        if state is None:
+        params = restore_eval_variables(module, args.ckpt_path, sample)
+        if params is None:
             # Parameterless module (classical): nothing to restore into.
             import warnings
 
@@ -128,18 +130,6 @@ def main(argv=None):
                 "parameterless",
                 stacklevel=1,
             )
-        else:
-            target = {"params": state.params, "opt_state": state.opt_state}
-            if getattr(state, "batch_stats", None):
-                target["batch_stats"] = state.batch_stats
-            restored, _ = load_checkpoint(args.ckpt_path, target=target)
-            if "batch_stats" in restored:
-                params = {
-                    "params": restored["params"],
-                    "batch_stats": restored["batch_stats"],
-                }
-            else:
-                params = restored["params"]
 
     if args.subcommand == "validate":
         # Run the validation loaders against a restored (or fresh) state.

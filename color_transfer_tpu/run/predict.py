@@ -69,7 +69,11 @@ def predict_pairs(
     Pairs are grouped by image shape; each group runs as one batched/sharded
     program through color_transfer_between_videos. Returns the written paths.
     """
-    from color_transfer_tpu.methods.video import color_transfer_between_videos
+    from color_transfer_tpu.methods.video import (
+        DEEP_METHODS,
+        _build_deep,
+        color_transfer_between_videos,
+    )
 
     output_dir = Path(output_dir)
     groups = {}
@@ -83,6 +87,23 @@ def predict_pairs(
             )
         groups.setdefault(t.shape, []).append((t, r, rel))
 
+    # Deep methods: build the module and restore the checkpoint ONCE (param
+    # shapes are resolution-independent), not per shape group — the shared
+    # module instance also keeps eval jit caches warm across groups.
+    module = variables = None
+    if method in DEEP_METHODS and groups:
+        import jax.numpy as jnp
+
+        t0, r0, _ = next(iter(groups.values()))[0]
+        sample = {
+            "target": jnp.asarray(t0[None]),
+            "reference": jnp.asarray(r0[None]),
+            "gt": jnp.asarray(t0[None]),
+        }
+        module, variables = _build_deep(
+            method, ckpt_path, None, None, module_kwargs, sample
+        )
+
     written = []
     for shape, items in groups.items():
         t_stack = np.stack([t for t, _, _ in items])
@@ -93,7 +114,8 @@ def predict_pairs(
             method=method,
             batch_size=batch_size,
             mesh=mesh,
-            ckpt_path=ckpt_path,
+            module=module,
+            variables=variables,
             module_kwargs=module_kwargs,
         )
         out = np.asarray(out)
@@ -108,6 +130,14 @@ def run_predict(args, model_init_args=None):
     """CLI driver. Single-pair mode (--target/--reference/--output) or
     directory mode (--input_dir/--output_dir)."""
     module_kwargs = dict(model_init_args or {})
+
+    if args.ckpt_path and args.method not in ("dcmcs3di", "dmsct"):
+        import warnings
+
+        warnings.warn(
+            f"--ckpt_path ignored: method '{args.method}' is parameterless",
+            stacklevel=1,
+        )
 
     if args.target or args.reference or args.output:
         if not (args.target and args.reference and args.output):

@@ -107,3 +107,36 @@ def test_predict_deep_random_init(tmp_path):
     assert len(outs) == 1
     arr = np.asarray(Image.open(outs[0]))
     assert arr.shape == (24, 32, 3)
+
+
+def test_predict_method_override_drops_config_init_args(tmp_path):
+    """--method overriding the config's model class must not leak that
+    class's init_args into the requested module."""
+    root = _pair_dir(tmp_path, n=1)
+    cfg = {
+        "model": {
+            "class_path": "dcmcs3di",
+            "init_args": {"extraction_layers": 1, "transfer_layers": 1,
+                          "channels": 8, "heavy_metrics": False},
+        }
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "override_out"
+    rc = main([
+        "predict", "--config", str(cfg_path), "--method", "reinhard",
+        "--input_dir", str(root), "--output_dir", str(out_dir),
+    ])
+    assert rc == 0
+    assert len(sorted(out_dir.glob("**/*_C.png"))) == 1
+
+
+def test_predict_classical_warns_on_ckpt_path(tmp_path, recwarn):
+    root = _pair_dir(tmp_path, n=1)
+    out_dir = tmp_path / "warn_out"
+    rc = main([
+        "predict", "--method", "reinhard", "--ckpt_path", "/nonexistent",
+        "--input_dir", str(root), "--output_dir", str(out_dir),
+    ])
+    assert rc == 0
+    assert any("ckpt_path ignored" in str(w.message) for w in recwarn.list)
