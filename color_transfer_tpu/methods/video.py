@@ -87,6 +87,12 @@ def color_transfer_between_videos(
         module, variables = _build_deep(
             method, ckpt_path, module, variables, module_kwargs, sample
         )
+        # Checkpoint-restored (or caller-provided) weights may be committed
+        # to a single device; the batch is sharded over the mesh, so
+        # replicate the weights across it.
+        from color_transfer_tpu.parallel.mesh import replicated_sharding
+
+        variables = jax.device_put(variables, replicated_sharding(mesh))
     else:
         fn = methods.get_method(method)
         if not per_frame:

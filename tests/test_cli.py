@@ -88,6 +88,27 @@ class TestCLI:
         aliases = {e.get("alias") for e in events if "checkpoint" in e}
         assert {"best", "last"} <= aliases
 
+        # predict serves corrected PNGs from the same checkpoint (restore
+        # target built from a small-crop init — run/checkpoint.py).
+        out_dir = tmp_path / "pred"
+        assert (
+            main(
+                [
+                    "predict",
+                    "--config",
+                    str(cfg),
+                    "--ckpt_path",
+                    str(ckpt),
+                    "--input_dir",
+                    str(data_root / "Test"),
+                    "--output_dir",
+                    str(out_dir),
+                ]
+            )
+            == 0
+        )
+        assert (out_dir / "0000_C.png").exists()
+
     def test_classical_test_with_func_spec_override(self, tmp_path, capsys):
         data_root = _make_data(tmp_path)
         cfg_path = tmp_path / "others.yaml"
