@@ -44,7 +44,9 @@ def _parse(argv):
     parser.add_argument("--output", default=None)
     parser.add_argument("--input_dir", default=None)
     parser.add_argument("--output_dir", default=None)
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="frames per device program; default is "
+                             "method-aware (run/predict.py)")
     args, unknown = parser.parse_known_args(argv)
 
     overrides = {}

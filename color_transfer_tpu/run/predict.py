@@ -61,19 +61,30 @@ def predict_pairs(
     method="monge_kantorovitch",
     ckpt_path=None,
     module_kwargs=None,
-    batch_size=8,
+    batch_size=None,
     mesh=None,
 ):
     """Correct (target_path, reference_path, out_rel) triples into output_dir.
 
     Pairs are grouped by image shape; each group runs as one batched/sharded
     program through color_transfer_between_videos. Returns the written paths.
+
+    batch_size=None picks a method-aware default: one frame per device for
+    the deep correctors (a full-res 1080p frame nearly fills a chip's HBM;
+    PERF.md measured per-chip batch>1 slower at full res anyway), 8 per
+    device for the lightweight classical methods.
     """
+    import jax
+
     from color_transfer_tpu.methods.video import (
         DEEP_METHODS,
         _build_deep,
         color_transfer_between_videos,
     )
+
+    n_dev = mesh.devices.size if mesh is not None else jax.device_count()
+    if batch_size is None:
+        batch_size = n_dev if method in DEEP_METHODS else 8 * n_dev
 
     output_dir = Path(output_dir)
     groups = {}
