@@ -33,3 +33,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A full-suite run in one process accumulates hundreds of XLA:CPU
+    executables; at that watermark the compiler segfaulted reproducibly
+    (LLVM JIT state, not repo code — the crashing test passes in isolation
+    and in any half-suite subset). Clearing the compilation caches between
+    modules keeps the per-process compile population bounded. Costs a few
+    re-compiles for fixtures shared across modules; measured suite-time
+    impact is small because modules rarely share program shapes.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
