@@ -79,14 +79,16 @@ def bench_dcmcs3di(iters=4, compute_dtype=None):
     return 1.0 / ((time.perf_counter() - start) / iters)
 
 
-def bench_dmsct(iters=6, recipe=False):
+def bench_dmsct(iters=6, recipe=False, fused_attention=False):
     """DMSCT 1080p inference (matcher capped at 512x896 per the reference's
     resolution policy, corrector at full res). recipe=True measures the
     parity-gated throughput settings (configs/dmsct.yaml: bf16 matcher
-    correlation/compute) plus the opt-in bf16 corrector."""
+    correlation/compute) plus the opt-in bf16 corrector; fused_attention
+    additionally routes eligible matcher window attention through the
+    fused Pallas kernel (ops/win_attention.py)."""
     from color_transfer_tpu.models.dmsct import DMSCT
 
-    model = DMSCT(**(
+    kwargs = (
         dict(
             matcher_corr_dtype="bfloat16",
             matcher_compute_dtype="bfloat16",
@@ -94,7 +96,10 @@ def bench_dmsct(iters=6, recipe=False):
         )
         if recipe
         else {}
-    ))
+    )
+    if fused_attention:
+        kwargs["matcher_fused_attention"] = True
+    model = DMSCT(**kwargs)
     t = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
     r = jnp.clip(t * 0.95 + 0.01, 0, 1)
     params = model.init(
@@ -188,6 +193,46 @@ def check_local_corr_kernel_integrity():
     )
 
 
+def check_win_attention_kernel_integrity():
+    """Compiled-vs-interpret agreement of the fused windowed-attention
+    kernel (ops/win_attention.py) on the real chip, masked + unmasked,
+    f32 + bf16 — the same toolchain guard the other Pallas kernels have."""
+    from color_transfer_tpu.ops.win_attention import window_attention_fused
+
+    rng = np.random.default_rng(13)
+    bp, length, c, n_mask = 16, 120, 128, 4
+    mk = lambda: jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    mask = jnp.asarray(
+        np.where(rng.uniform(size=(n_mask, length, length)) > 0.7, -100.0, 0.0)
+        .astype(np.float32)
+    )
+    for dtype in (jnp.float32, jnp.bfloat16):
+        qq, kk, vv = (x.astype(dtype) for x in (q, k, v))
+        for m in (None, mask):
+            compiled = np.asarray(
+                jax.jit(lambda a, b, d: window_attention_fused(a, b, d, m))(
+                    qq, kk, vv
+                ),
+                dtype=np.float32,
+            )
+            interp = np.asarray(
+                window_attention_fused(qq, kk, vv, m, interpret=True),
+                dtype=np.float32,
+            )
+            tol = 1e-5 if dtype == jnp.float32 else 2e-2
+            bad = np.abs(compiled - interp) > tol
+            assert not bad.any(), (
+                f"win-attention {np.dtype(dtype).name} mask={m is not None}: "
+                f"{bad.mean():.5%} of elements diverge compiled-vs-interpret"
+            )
+    print(
+        "[bench] win-attention kernel integrity: compiled == interpret "
+        "(f32+bf16, masked+unmasked)",
+        file=sys.stderr,
+    )
+
+
 def main():
     results = {}
     try:
@@ -199,6 +244,13 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(
             f"[bench] LOCAL-CORR KERNEL INTEGRITY FAILURE: {e}",
+            file=sys.stderr,
+        )
+    try:
+        check_win_attention_kernel_integrity()
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"[bench] WIN-ATTENTION KERNEL INTEGRITY FAILURE: {e}",
             file=sys.stderr,
         )
     for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
@@ -248,6 +300,15 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dmsct bf16 recipe failed: {e}", file=sys.stderr)
+    try:
+        fps = results["dmsct_fused_attn"] = bench_dmsct(fused_attention=True)
+        print(
+            f"[bench] dmsct full-res fused win-attention: {fps:.2f} "
+            "1080p frames/sec",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] dmsct fused win-attention failed: {e}", file=sys.stderr)
 
     headline = results.get("monge_kantorovitch", 0.0)
     print(

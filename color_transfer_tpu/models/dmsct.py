@@ -52,6 +52,9 @@ class DMSCT(nn.Module):
     # convs in this dtype, f32 params): BatchNorm statistics, the SE global
     # mean, the flow warp and the residual add stay float32.
     corrector_compute_dtype: str = None
+    # Fused Pallas windowed attention inside the matcher transformer
+    # (models/gmflow.py::UniMatchFlow.fused_attention).
+    matcher_fused_attention: bool = False
 
     def setup(self):
         self.matcher = GMFlow(
@@ -63,6 +66,7 @@ class DMSCT(nn.Module):
                 if self.matcher_compute_dtype
                 else None
             ),
+            fused_attention=self.matcher_fused_attention,
         )
         corr_dt = (
             jnp.dtype(self.corrector_compute_dtype).type

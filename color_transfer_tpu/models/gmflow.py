@@ -38,6 +38,10 @@ from color_transfer_tpu.core.sampling import (
     flow_warp,
     forward_backward_consistency,
 )
+from color_transfer_tpu.ops.win_attention import (
+    eligible as win_eligible,
+    window_attention_fused,
+)
 
 # ---------------------------------------------------------------------------
 # CNN encoder (reference unimatch/backbone.py)
@@ -265,14 +269,25 @@ class TransformerLayer(nn.Module):
     no_ffn: bool = False
     ffn_dim_expansion: int = 4
     dtype: jnp.dtype = None
+    # Route eligible windowed attention through the fused Pallas kernel
+    # (ops/win_attention.py): False, True (TPU only; silently falls back to
+    # XLA on other backends), or "interpret" (tests). Off by default until
+    # measured on TPU.
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
-                 attn_type="swin", *, is_self):
+                 attn_type="swin", *, is_self, windowed=False, win_mask=None):
         # is_self is keyword-required: the fused projections compute K/V
         # from `source` when True and from `target` when False, so a caller
         # silently inheriting a default would get wrong attention, not an
         # error.
+        #
+        # windowed=True: the caller already holds tokens in window-major
+        # layout (B*k*k, hs*ws, C) — attention runs directly per window
+        # (win_mask is the additive shifted-window mask, or None), skipping
+        # the per-layer split/merge transforms. Parameters and per-token
+        # math are identical to the non-windowed path.
         init = nn.initializers.xavier_uniform()
 
         # q/k/v projections as explicit params with the same tree layout a
@@ -309,7 +324,25 @@ class TransformerLayer(nn.Module):
         # attn_type routing mirrors reference unimatch/transformer.py:65-138:
         # 'swin' (the flow config) uses 2D shifted windows for both self and
         # cross attention; the stereo variants use 1D cross attention.
-        if attn_type == "swin" or is_self:
+        if windowed:
+            # win_mask is the SMALL (k*k, L, L) shift mask (or None); the
+            # fused kernel reads it per-window, the XLA path tiles it.
+            fused = self.fused_attention
+            if fused is True and jax.default_backend() != "tpu":
+                fused = False  # Mosaic kernels need the TPU backend
+            if fused and win_eligible(
+                q.shape, q.dtype,
+                None if win_mask is None else win_mask.shape,
+            ):
+                message = window_attention_fused(
+                    q, k, v, win_mask, interpret=fused == "interpret"
+                )
+            else:
+                mask = win_mask
+                if mask is not None:
+                    mask = jnp.tile(mask, (q.shape[0] // mask.shape[0], 1, 1))
+                message = _attention(q, k, v, mask)
+        elif attn_type == "swin" or is_self:
             message = swin_attention(q, k, v, attn_num_splits, with_shift, h, w)
         elif attn_type == "self_swin2d_cross_1d":
             from color_transfer_tpu.models.gmflow_extras import full_attention_1d
@@ -352,28 +385,51 @@ class TransformerBlock(nn.Module):
     d_model: int = 128
     ffn_dim_expansion: int = 4
     dtype: jnp.dtype = None
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
-                 attn_type="swin"):
+                 attn_type="swin", windowed=False, win_mask=None):
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, fused_attention=self.fused_attention,
+            name="self_attn",
         )(source, source, h, w, with_shift, attn_num_splits, attn_type,
-          is_self=True)
+          is_self=True, windowed=windowed, win_mask=win_mask)
         source = TransformerLayer(
             self.d_model, ffn_dim_expansion=self.ffn_dim_expansion,
-            dtype=self.dtype, name="cross_attn_ffn",
+            dtype=self.dtype, fused_attention=self.fused_attention,
+            name="cross_attn_ffn",
         )(source, target, h, w, with_shift, attn_num_splits, attn_type,
-          is_self=False)
+          is_self=False, windowed=windowed, win_mask=win_mask)
         return source
 
 
 class FeatureTransformer(nn.Module):
+    """Six TransformerBlocks over the [f0|f1] / [f1|f0] siamese batch
+    (reference unimatch/transformer.py:205-267).
+
+    For the swin path with attn_num_splits > 1 the stack runs WINDOW-MAJOR:
+    tokens live in (2b*k*k, hs*ws, C) layout for all layers, so the
+    unshifted layers (0, 2, 4) perform no window split/merge at all and the
+    shifted layers (1, 3, 5) cost one merge->roll->split round-trip each —
+    versus split+merge inside every attention call (4 spatial transforms
+    per layer, with badly aligned (hs, ws) sublane tiles) in the naive
+    form. The cross-attention target is derived by a batch-half swap of the
+    already-transformed source (the swap commutes with the spatial
+    relayout), so it never needs its own round-trip. Per-token math and
+    parameters are identical; outputs are bitwise equal to the
+    layout-naive path.
+    """
+
     num_layers: int = 6
     d_model: int = 128
     ffn_dim_expansion: int = 4
     dtype: jnp.dtype = None
+    # False forces the layout-naive per-layer split/merge path (same params,
+    # same outputs) — kept for A/B benching and equivalence tests.
+    window_major: bool = True
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, feature0, feature1, attn_num_splits, attn_type="swin"):
@@ -381,6 +437,57 @@ class FeatureTransformer(nn.Module):
         if self.dtype is not None:
             feature0 = feature0.astype(self.dtype)
             feature1 = feature1.astype(self.dtype)
+
+        def _block(i):
+            return TransformerBlock(
+                self.d_model, self.ffn_dim_expansion, dtype=self.dtype,
+                fused_attention=self.fused_attention, name=f"layer_{i}",
+            )
+
+        def _swap(x):
+            half0, half1 = jnp.split(x, 2, axis=0)
+            return jnp.concatenate([half1, half0], axis=0)
+
+        if self.window_major and attn_type == "swin" and attn_num_splits > 1:
+            k = attn_num_splits
+            hs, ws = h // k, w // k
+
+            def to_win(ximg):  # (2b, h, w, c) -> (2b*k*k, hs*ws, c)
+                return split_windows(ximg, k).reshape(-1, hs * ws, c)
+
+            def from_win(xw):  # inverse
+                return merge_windows(xw.reshape(-1, hs, ws, c), k)
+
+            # SMALL (k*k, L, L) mask — tiled per window batch only by the
+            # XLA attention path; the fused kernel indexes it modularly.
+            mask = jnp.asarray(_shift_window_mask(h, w, k))
+
+            concat_img = jnp.concatenate([feature0, feature1], axis=0)
+            src = to_win(concat_img)
+            for i in range(self.num_layers):
+                shifted = i % 2 == 1
+                if shifted:
+                    src = to_win(
+                        jnp.roll(from_win(src), (-(hs // 2), -(ws // 2)),
+                                 axis=(1, 2))
+                    )
+                tgt = _swap(src)
+                src = _block(i)(
+                    src, tgt, hs, ws,
+                    with_shift=shifted,
+                    attn_num_splits=k,
+                    attn_type=attn_type,
+                    windowed=True,
+                    win_mask=mask if shifted else None,
+                )
+                if shifted:
+                    src = to_win(
+                        jnp.roll(from_win(src), (hs // 2, ws // 2), axis=(1, 2))
+                    )
+            out = from_win(src)
+            f0, f1 = jnp.split(out, 2, axis=0)
+            return f0, f1
+
         concat0 = jnp.concatenate(
             [feature0.reshape(b, h * w, c), feature1.reshape(b, h * w, c)], axis=0
         )
@@ -388,10 +495,7 @@ class FeatureTransformer(nn.Module):
             [feature1.reshape(b, h * w, c), feature0.reshape(b, h * w, c)], axis=0
         )
         for i in range(self.num_layers):
-            concat0 = TransformerBlock(
-                self.d_model, self.ffn_dim_expansion, dtype=self.dtype,
-                name=f"layer_{i}",
-            )(
+            concat0 = _block(i)(
                 concat0,
                 concat1,
                 h,
@@ -400,8 +504,7 @@ class FeatureTransformer(nn.Module):
                 attn_num_splits=attn_num_splits,
                 attn_type=attn_type,
             )
-            half0, half1 = jnp.split(concat0, 2, axis=0)
-            concat1 = jnp.concatenate([half1, half0], axis=0)
+            concat1 = _swap(concat0)
 
         f0, f1 = jnp.split(concat0, 2, axis=0)
         return f0.reshape(b, h, w, c), f1.reshape(b, h, w, c)
@@ -833,6 +936,9 @@ class UniMatchFlow(nn.Module):
     # the throughput path — parity-gate it with the mini 31-distortion
     # protocol before enabling for quality-reporting runs.
     compute_dtype: jnp.dtype = None
+    # Fused Pallas windowed attention (ops/win_attention.py); off until
+    # measured on TPU — numerics are kernel-parity-tested either way.
+    fused_attention: bool = False
 
     def setup(self):
         self.backbone = CNNEncoder(
@@ -841,6 +947,7 @@ class UniMatchFlow(nn.Module):
         self.transformer = FeatureTransformer(
             self.num_transformer_layers, self.feature_channels,
             self.ffn_dim_expansion, dtype=self.compute_dtype,
+            fused_attention=self.fused_attention,
         )
         self.feature_flow_attn = SelfAttnPropagation(
             self.feature_channels, dtype=self.compute_dtype
@@ -953,12 +1060,14 @@ class GMFlow(nn.Module):
     num_reg_refine: int = 6
     corr_dtype: jnp.dtype = jnp.float32  # see UniMatchFlow.corr_dtype
     compute_dtype: jnp.dtype = None  # see UniMatchFlow.compute_dtype
+    fused_attention: bool = False  # see UniMatchFlow.fused_attention
 
     def setup(self):
         self.core = UniMatchFlow(
             num_transformer_layers=self.num_transformer_layers,
             corr_dtype=self.corr_dtype,
             compute_dtype=self.compute_dtype,
+            fused_attention=self.fused_attention,
         )
 
     def __call__(self, img0, img1, pred_bidir_flow=True,

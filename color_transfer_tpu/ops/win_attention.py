@@ -1,0 +1,209 @@
+"""Fused per-window attention Pallas kernel.
+
+One VMEM-resident pass per window group: QK^T -> (+shift mask) -> f32
+softmax -> PV. The XLA lowering of the same math (models/gmflow.py::
+_attention, mirroring reference unimatch/attention.py:48-107) materializes
+the (B', L, L) score and probability tensors in HBM — at the DMSCT train
+shape (6144 windows of 120 tokens) that is ~350 MB of f32 round-tripped
+per attention call, 12 calls per matcher scale. Here scores never leave
+VMEM.
+
+Numerics match ``_attention`` exactly: scores accumulate in f32 (f32
+operands force ``Precision.HIGHEST`` because this backend lowers default
+f32 matmuls to one-pass bf16 — see PERF.md), the softmax runs in f32, the
+probabilities are cast back to the operand dtype before the PV dot, and
+the PV dot accumulates in f32.
+
+Shift masks ride a SMALL (n_mask, L, L) operand held fully VMEM-resident;
+window ``i`` reads row ``i % n_mask`` — the (B', L, L) tiled mask of the
+XLA path is never built.
+
+Gradients: the public wrapper carries a custom VJP whose backward pass is
+the XLA reference implementation (same pattern as the local-correlation
+kernel, models/gmflow.py:693-733) — the DMSCT matcher is frozen behind
+``stop_gradient`` so the backward is trace-only there, but the op stays
+differentiable for standalone GMFlow use.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# VMEM ceiling for routing (bytes) — q/k/v/out blocks + resident mask must
+# fit comfortably under the 16 MB default scoped-vmem budget alongside
+# Mosaic's double-buffering of the grid-mapped operands.
+_VMEM_CAP = 8 * 1024 * 1024
+
+
+def window_attention_xla(q, k, v, mask=None):
+    """XLA reference: identical math to models/gmflow.py::_attention with a
+    lazily tiled per-window mask. Used for the kernel's VJP and tests."""
+    c = q.shape[-1]
+    scores = jnp.einsum(
+        "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(c)
+    if mask is not None:
+        n_mask = mask.shape[0]
+        scores = (
+            scores.reshape(-1, n_mask, *scores.shape[1:]) + mask[None]
+        ).reshape(scores.shape)
+    prob = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("blm,bmc->blc", prob, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _working_set(wb, length, c, itemsize, mask_shape):
+    # double-buffered q/k/v/out blocks + f32 score/prob temporaries for the
+    # in-flight window + the fully resident shift mask
+    vmem = 2 * 4 * wb * length * c * itemsize + 2 * length * length * 4
+    if mask_shape is not None:
+        vmem += mask_shape[0] * length * length * 4
+    return vmem
+
+
+def _pick_wb(n_windows, length=None, c=None, itemsize=4, mask_shape=None):
+    """Largest window-group size whose VMEM working set fits (shape-only
+    call sites pass just n_windows for the divisibility rule)."""
+    for wb in (8, 4, 2):
+        if n_windows % wb != 0:
+            continue
+        if length is not None and (
+            _working_set(wb, length, c, itemsize, mask_shape) > _VMEM_CAP
+        ):
+            continue
+        return wb
+    return 1
+
+
+def eligible(q_shape, q_dtype, mask_shape=None):
+    """True when the fused kernel's VMEM working set fits (the routing
+    guard models/gmflow.py uses before swapping in the kernel)."""
+    bp, length, c = q_shape
+    itemsize = jnp.dtype(q_dtype).itemsize
+    wb = _pick_wb(bp, length, c, itemsize, mask_shape)
+    return _working_set(wb, length, c, itemsize, mask_shape) <= _VMEM_CAP
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, wb):
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def body(j, carry):
+        qj, kj, vj = q_ref[j], k_ref[j], v_ref[j]
+        s = (
+            jax.lax.dot_general(
+                qj, kj, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        p = jax.nn.softmax(s, axis=-1).astype(qj.dtype)
+        o = jax.lax.dot_general(
+            p, vj, (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = o.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, wb, body, 0)
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, wb, n_mask):
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    base = pl.program_id(0) * wb
+
+    def body(j, carry):
+        qj, kj, vj = q_ref[j], k_ref[j], v_ref[j]
+        s = (
+            jax.lax.dot_general(
+                qj, kj, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        s = s + m_ref[jax.lax.rem(base + j, n_mask)]
+        p = jax.nn.softmax(s, axis=-1).astype(qj.dtype)
+        o = jax.lax.dot_general(
+            p, vj, (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = o.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, wb, body, 0)
+
+
+def _call(q, k, v, mask, interpret):
+    bp, length, c = q.shape
+    wb = _pick_wb(
+        bp, length, c, jnp.dtype(q.dtype).itemsize,
+        None if mask is None else mask.shape,
+    )
+    scale = 1.0 / math.sqrt(c)
+    grid = (bp // wb,)
+    qkv_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, scale=scale, wb=wb),
+            grid=grid,
+            in_specs=[qkv_spec] * 3,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v)
+    n_mask = mask.shape[0]
+    mask_spec = pl.BlockSpec(mask.shape, lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel_masked, scale=scale, wb=wb, n_mask=n_mask),
+        grid=grid,
+        in_specs=[qkv_spec] * 3 + [mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _win_attention_ad(interpret, q, k, v, mask):
+    return _call(q, k, v, mask, interpret)
+
+
+def _win_attention_fwd(interpret, q, k, v, mask):
+    return _win_attention_ad(interpret, q, k, v, mask), (q, k, v, mask)
+
+
+def _win_attention_bwd(interpret, residuals, g):
+    q, k, v, mask = residuals
+    _, vjp = jax.vjp(lambda a, b, d: window_attention_xla(a, b, d, mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    # The shift mask is a trace-time constant; its cotangent is never used.
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dmask
+
+
+_win_attention_ad.defvjp(_win_attention_fwd, _win_attention_bwd)
+
+
+def window_attention_fused(q, k, v, mask=None, *, interpret=False):
+    """Fused windowed attention. q/k/v: (B', L, C) window-major tokens;
+    mask: optional additive (n_mask, L, L), window i reads mask[i % n_mask].
+
+    Callers should guard with :func:`eligible`; this function asserts the
+    same invariants rather than silently falling back."""
+    bp, length, c = q.shape
+    if mask is not None and bp % mask.shape[0] != 0:
+        raise ValueError(
+            f"window count {bp} not a multiple of mask periods {mask.shape[0]}"
+        )
+    return _win_attention_ad(interpret, q, k, v, mask)

@@ -1,0 +1,126 @@
+"""Fused windowed-attention kernel (ops/win_attention.py) parity.
+
+Interpret-mode kernel vs the XLA reference — the same harness shape as the
+local-correlation kernel tests. Compiled-vs-interpret equality on real TPU
+rides bench.py's integrity checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from color_transfer_tpu.ops.win_attention import (
+    _pick_wb,
+    eligible,
+    window_attention_fused,
+    window_attention_xla,
+)
+
+
+def _qkv(rng, bp, length, c, dtype=np.float32):
+    mk = lambda: jnp.asarray(rng.normal(size=(bp, length, c)).astype(dtype))
+    return mk(), mk(), mk()
+
+
+class TestKernelParity:
+    @pytest.mark.parametrize("bp,length,c", [(8, 24, 32), (6, 16, 64), (3, 8, 32)])
+    def test_unmasked_f32(self, rng, bp, length, c):
+        q, k, v = _qkv(rng, bp, length, c)
+        out = window_attention_fused(q, k, v, interpret=True)
+        ref = window_attention_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_masked_f32(self, rng):
+        bp, length, c, n_mask = 8, 24, 32, 4
+        q, k, v = _qkv(rng, bp, length, c)
+        mask = jnp.asarray(
+            np.where(rng.uniform(size=(n_mask, length, length)) > 0.7,
+                     -100.0, 0.0).astype(np.float32)
+        )
+        out = window_attention_fused(q, k, v, mask, interpret=True)
+        ref = window_attention_xla(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_bf16(self, rng):
+        q, k, v = _qkv(rng, 4, 16, 32)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        out = window_attention_fused(q, k, v, interpret=True)
+        ref = window_attention_xla(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_mask_period_mismatch_raises(self, rng):
+        q, k, v = _qkv(rng, 6, 8, 32)
+        mask = jnp.zeros((4, 8, 8), jnp.float32)
+        with pytest.raises(ValueError, match="mask periods"):
+            window_attention_fused(q, k, v, mask, interpret=True)
+
+    def test_grad_matches_xla(self, rng):
+        bp, length, c = 4, 16, 32
+        q, k, v = _qkv(rng, bp, length, c)
+        mask = jnp.asarray(
+            np.where(rng.uniform(size=(2, length, length)) > 0.7,
+                     -100.0, 0.0).astype(np.float32)
+        )
+
+        def loss_fused(q, k, v):
+            return window_attention_fused(q, k, v, mask, interpret=True).sum()
+
+        def loss_ref(q, k, v):
+            return window_attention_xla(q, k, v, mask).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+
+class TestRouting:
+    def test_pick_wb(self):
+        assert _pick_wb(6144) == 8
+        assert _pick_wb(12) == 4
+        assert _pick_wb(6) == 2
+        assert _pick_wb(5) == 1
+
+    def test_eligibility_bounds(self):
+        # train-shape scale1 windows fit; fullres scale0 (L=1792) does not
+        assert eligible((6144, 120, 128), jnp.float32, (64, 120, 120))
+        assert not eligible((32, 1792, 128), jnp.float32, None)
+
+    def test_transformer_fused_matches_default(self, rng):
+        from color_transfer_tpu.models.gmflow import FeatureTransformer
+
+        f0 = jnp.asarray(rng.normal(size=(2, 8, 16, 32)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(2, 8, 16, 32)).astype(np.float32))
+        base = FeatureTransformer(num_layers=2, d_model=32)
+        fused = FeatureTransformer(num_layers=2, d_model=32,
+                                   fused_attention="interpret")
+        variables = base.init(jax.random.PRNGKey(0), f0, f1, 2)
+        a0, a1 = base.apply(variables, f0, f1, 2)
+        b0, b1 = fused.apply(variables, f0, f1, 2)
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(b0),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_fused_true_off_tpu_falls_back(self, rng):
+        # On the CPU test backend, fused_attention=True must silently take
+        # the XLA path (no Mosaic compile attempted) and match exactly.
+        from color_transfer_tpu.models.gmflow import FeatureTransformer
+
+        f0 = jnp.asarray(rng.normal(size=(1, 8, 8, 32)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(1, 8, 8, 32)).astype(np.float32))
+        base = FeatureTransformer(num_layers=1, d_model=32)
+        fused = FeatureTransformer(num_layers=1, d_model=32,
+                                   fused_attention=True)
+        variables = base.init(jax.random.PRNGKey(0), f0, f1, 2)
+        a0, _ = base.apply(variables, f0, f1, 2)
+        b0, _ = fused.apply(variables, f0, f1, 2)
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))

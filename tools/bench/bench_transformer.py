@@ -1,10 +1,15 @@
 """Standalone FeatureTransformer bench at the two matcher scale shapes.
 
-Usage: python _bench_transformer.py [train|fullres]
+Usage: python tools/bench/bench_transformer.py [train|fullres]
 
 Shapes (DMSCT): train crop 256x480 -> scale0 (24, 32, 60, 128) splits=2,
 scale1 (48, 64, 120, 128) splits=8.  Fullres matcher cap 512x896 ->
 scale0 (2, 64, 112, 128), scale1 (4, 128, 224, 128).
+
+A/Bs three layout/kernel variants x {f32, bf16}:
+  naive   — per-layer split/merge window transforms (round-2 path)
+  winmaj  — window-major token layout across the stack (round-3 default)
+  fused   — winmaj + fused Pallas windowed attention (opt-in)
 """
 import sys
 import time
@@ -22,13 +27,23 @@ if which == "train":
 else:
     shapes = [((2, 64, 112, 128), 2), ((4, 128, 224, 128), 8)]
 
+VARIANTS = {
+    "naive": dict(window_major=False),
+    "winmaj": dict(),
+    "fused": dict(fused_attention=True),
+}
 
-def bench(shape, splits, iters=8, dtype=None):
+
+def bench(shape, splits, variant, iters=8, dtype=None):
     b, h, w, c = shape
-    model = FeatureTransformer(num_layers=6, d_model=c, dtype=dtype)
+    model = FeatureTransformer(
+        num_layers=6, d_model=c, dtype=dtype, **VARIANTS[variant]
+    )
     f0 = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
     f1 = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(2), f0[:1], f1[:1], splits)
+    params = jax.jit(model.init, static_argnums=3)(
+        jax.random.PRNGKey(2), f0[:1], f1[:1], splits
+    )
 
     @jax.jit
     def fwd(p, a, b_):
@@ -45,11 +60,15 @@ def bench(shape, splits, iters=8, dtype=None):
         acc = fwd(params, acc, f1)
     float(acc.mean())
     dt = (time.perf_counter() - start) / iters
-    tag = f"{shape} splits={splits} dtype={dtype}"
+    tag = f"{shape} splits={splits} {variant:7s} dtype={dtype}"
     print(f"{tag}: {dt*1e3:.1f} ms", flush=True)
     return dt
 
 
 for shape, splits in shapes:
-    bench(shape, splits)
-    bench(shape, splits, dtype=jnp.bfloat16)
+    for variant in VARIANTS:
+        for dtype in (None, jnp.bfloat16):
+            try:
+                bench(shape, splits, variant, dtype=dtype)
+            except Exception as e:  # noqa: BLE001
+                print(f"{variant} dtype={dtype} failed: {e}", flush=True)
