@@ -207,28 +207,39 @@ def check_win_attention_kernel_integrity():
         np.where(rng.uniform(size=(n_mask, length, length)) > 0.7, -100.0, 0.0)
         .astype(np.float32)
     )
+    # (tag, mask operand, shift_windows geometry) — geometry is the mode
+    # the DMSCT routing actually uses for shifted layers.
+    variants = [
+        ("unmasked", None, None),
+        ("masked", mask, None),
+        ("geometry", None, (4, 10, 12)),  # k*k = 16 = bp; hs*ws = 120 = L
+    ]
     for dtype in (jnp.float32, jnp.bfloat16):
         qq, kk, vv = (x.astype(dtype) for x in (q, k, v))
-        for m in (None, mask):
+        for tag, m, geom in variants:
             compiled = np.asarray(
-                jax.jit(lambda a, b, d: window_attention_fused(a, b, d, m))(
-                    qq, kk, vv
-                ),
+                jax.jit(
+                    lambda a, b, d: window_attention_fused(
+                        a, b, d, m, shift_windows=geom
+                    )
+                )(qq, kk, vv),
                 dtype=np.float32,
             )
             interp = np.asarray(
-                window_attention_fused(qq, kk, vv, m, interpret=True),
+                window_attention_fused(
+                    qq, kk, vv, m, shift_windows=geom, interpret=True
+                ),
                 dtype=np.float32,
             )
             tol = 1e-5 if dtype == jnp.float32 else 2e-2
             bad = np.abs(compiled - interp) > tol
             assert not bad.any(), (
-                f"win-attention {np.dtype(dtype).name} mask={m is not None}: "
+                f"win-attention {np.dtype(dtype).name} {tag}: "
                 f"{bad.mean():.5%} of elements diverge compiled-vs-interpret"
             )
     print(
         "[bench] win-attention kernel integrity: compiled == interpret "
-        "(f32+bf16, masked+unmasked)",
+        "(f32+bf16, unmasked+masked+geometry)",
         file=sys.stderr,
     )
 

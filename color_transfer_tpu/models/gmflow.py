@@ -40,6 +40,7 @@ from color_transfer_tpu.core.sampling import (
 )
 from color_transfer_tpu.ops.win_attention import (
     eligible as win_eligible,
+    shift_window_mask as _shift_window_mask,
     window_attention_fused,
 )
 
@@ -188,22 +189,8 @@ def merge_windows(x, k):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, k * hs, k * ws, c)
 
 
-@lru_cache(maxsize=32)
-def _shift_window_mask(h, w, k):
-    """Additive (-100 / 0) mask for shifted-window attention, numpy,
-    shape (k*k, hs*ws, hs*ws) (reference unimatch/utils.py:87-111)."""
-    hs, ws = h // k, w // k
-    sh, sw = hs // 2, ws // 2
-    img = np.zeros((1, h, w, 1), dtype=np.float32)
-    cnt = 0
-    for hsl in (slice(0, -hs), slice(-hs, -sh), slice(-sh, None)):
-        for wsl in (slice(0, -ws), slice(-ws, -sw), slice(-sw, None)):
-            img[:, hsl, wsl, :] = cnt
-            cnt += 1
-    win = img.reshape(1, k, hs, k, ws, 1).transpose(0, 1, 3, 2, 4, 5)
-    win = win.reshape(k * k, hs * ws)
-    mask = win[:, None, :] - win[:, :, None]
-    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+# _shift_window_mask lives in ops/win_attention.py (shift_window_mask) so
+# the fused kernel's VJP can rebuild it without an import cycle.
 
 
 def _attention(q, k, v, mask=None):
@@ -326,16 +313,20 @@ class TransformerLayer(nn.Module):
         # cross attention; the stereo variants use 1D cross attention.
         if windowed:
             # win_mask is the SMALL (k*k, L, L) shift mask (or None); the
-            # fused kernel reads it per-window, the XLA path tiles it.
+            # XLA path tiles it, the fused kernel regenerates it in-kernel
+            # from window geometry (h/w are the window dims here) so no
+            # mask operand rides in VMEM.
             fused = self.fused_attention
             if fused is True and jax.default_backend() != "tpu":
                 fused = False  # Mosaic kernels need the TPU backend
-            if fused and win_eligible(
-                q.shape, q.dtype,
-                None if win_mask is None else win_mask.shape,
-            ):
+            if fused and win_eligible(q.shape, q.dtype, None):
                 message = window_attention_fused(
-                    q, k, v, win_mask, interpret=fused == "interpret"
+                    q, k, v,
+                    shift_windows=(
+                        (attn_num_splits, h, w) if win_mask is not None
+                        else None
+                    ),
+                    interpret=fused == "interpret",
                 )
             else:
                 mask = win_mask

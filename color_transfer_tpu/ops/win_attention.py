@@ -27,6 +27,9 @@ differentiable for standalone GMFlow use.
 
 import functools
 import math
+from functools import lru_cache
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +39,28 @@ from jax.experimental import pallas as pl
 # fit comfortably under the 16 MB default scoped-vmem budget alongside
 # Mosaic's double-buffering of the grid-mapped operands.
 _VMEM_CAP = 8 * 1024 * 1024
+
+
+@lru_cache(maxsize=32)
+def shift_window_mask(h, w, k):
+    """Additive (-100 / 0) shifted-window mask, numpy trace-time constant,
+    shape (k*k, hs*ws, hs*ws) (reference unimatch/utils.py:87-111).
+
+    Region labels are written directly in rolled coordinates (the standard
+    swin construction): tokens of the same window attend iff their 3x3
+    (h-band, w-band) region labels agree."""
+    hs, ws = h // k, w // k
+    sh, sw = hs // 2, ws // 2
+    img = np.zeros((1, h, w, 1), dtype=np.float32)
+    cnt = 0
+    for hsl in (slice(0, -hs), slice(-hs, -sh), slice(-sh, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -sw), slice(-sw, None)):
+            img[:, hsl, wsl, :] = cnt
+            cnt += 1
+    win = img.reshape(1, k, hs, k, ws, 1).transpose(0, 1, 3, 2, 4, 5)
+    win = win.reshape(k * k, hs * ws)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
 
 def window_attention_xla(q, k, v, mask=None):
@@ -114,6 +139,63 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, wb):
     jax.lax.fori_loop(0, wb, body, 0)
 
 
+def _region_vectors(widx, k, hs, ws):
+    """Per-token 3x3 region labels for shifted-window masking, computed
+    from index arithmetic (no mask operand): returns (L, 1) and (1, L)
+    int32 label arrays for window ``widx`` (a traced scalar)."""
+    length = hs * ws
+    sh, sw = hs // 2, ws // 2
+    wi = widx // k
+    wj = jax.lax.rem(widx, k)
+
+    def labels(shape, dim):
+        ids = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+        r = ids // ws
+        c = jax.lax.rem(ids, ws)
+        hband = jnp.where(
+            wi == k - 1, jnp.where(r < hs - sh, 1, 2), 0
+        )
+        wband = jnp.where(
+            wj == k - 1, jnp.where(c < ws - sw, 1, 2), 0
+        )
+        return 3 * hband + wband
+
+    return labels((length, 1), 0), labels((1, length), 1)
+
+
+def _kernel_shift(q_ref, k_ref, v_ref, o_ref, *, scale, wb, k, hs, ws):
+    """Shifted-window attention with the swin mask generated in-kernel
+    from window geometry — no resident mask operand."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    base = pl.program_id(0) * wb
+    kk = k * k
+
+    def body(j, carry):
+        qj, kj, vj = q_ref[j], k_ref[j], v_ref[j]
+        s = (
+            jax.lax.dot_general(
+                qj, kj, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        reg_i, reg_j = _region_vectors(jax.lax.rem(base + j, kk), k, hs, ws)
+        s = jnp.where(reg_i != reg_j, s - 100.0, s)
+        p = jax.nn.softmax(s, axis=-1).astype(qj.dtype)
+        o = jax.lax.dot_general(
+            p, vj, (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = o.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, wb, body, 0)
+
+
 def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, wb, n_mask):
     prec = (
         jax.lax.Precision.HIGHEST
@@ -143,7 +225,7 @@ def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, wb, n_mask):
     jax.lax.fori_loop(0, wb, body, 0)
 
 
-def _call(q, k, v, mask, interpret):
+def _call(q, k, v, mask, shift_windows, interpret):
     bp, length, c = q.shape
     wb = _pick_wb(
         bp, length, c, jnp.dtype(q.dtype).itemsize,
@@ -153,6 +235,18 @@ def _call(q, k, v, mask, interpret):
     grid = (bp // wb,)
     qkv_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
     out_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
+    if shift_windows is not None:
+        kw, hs, ws = shift_windows
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_shift, scale=scale, wb=wb, k=kw, hs=hs, ws=ws
+            ),
+            grid=grid,
+            in_specs=[qkv_spec] * 3,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v)
     if mask is None:
         return pl.pallas_call(
             functools.partial(_kernel, scale=scale, wb=wb),
@@ -174,36 +268,57 @@ def _call(q, k, v, mask, interpret):
     )(q, k, v, mask.astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _win_attention_ad(interpret, q, k, v, mask):
-    return _call(q, k, v, mask, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _win_attention_ad(interpret, shift_windows, q, k, v, mask):
+    return _call(q, k, v, mask, shift_windows, interpret)
 
 
-def _win_attention_fwd(interpret, q, k, v, mask):
-    return _win_attention_ad(interpret, q, k, v, mask), (q, k, v, mask)
+def _win_attention_fwd(interpret, shift_windows, q, k, v, mask):
+    out = _win_attention_ad(interpret, shift_windows, q, k, v, mask)
+    return out, (q, k, v, mask)
 
 
-def _win_attention_bwd(interpret, residuals, g):
+def _win_attention_bwd(interpret, shift_windows, residuals, g):
     q, k, v, mask = residuals
+    if shift_windows is not None:
+        kw, hs, ws = shift_windows
+        mask = jnp.asarray(shift_window_mask(kw * hs, kw * ws, kw))
     _, vjp = jax.vjp(lambda a, b, d: window_attention_xla(a, b, d, mask), q, k, v)
     dq, dk, dv = vjp(g)
     # The shift mask is a trace-time constant; its cotangent is never used.
-    dmask = None if mask is None else jnp.zeros_like(mask)
+    dmask = None if residuals[3] is None else jnp.zeros_like(residuals[3])
     return dq, dk, dv, dmask
 
 
 _win_attention_ad.defvjp(_win_attention_fwd, _win_attention_bwd)
 
 
-def window_attention_fused(q, k, v, mask=None, *, interpret=False):
-    """Fused windowed attention. q/k/v: (B', L, C) window-major tokens;
-    mask: optional additive (n_mask, L, L), window i reads mask[i % n_mask].
+def window_attention_fused(q, k, v, mask=None, *, shift_windows=None,
+                           interpret=False):
+    """Fused windowed attention. q/k/v: (B', L, C) window-major tokens.
+
+    Shifted-window masking comes in two forms (mutually exclusive):
+      * ``mask``: additive (n_mask, L, L) operand held VMEM-resident;
+        window i reads ``mask[i % n_mask]`` — the generic form;
+      * ``shift_windows=(k, hs, ws)``: the standard swin mask is generated
+        IN-KERNEL from window geometry (two iotas + a region-label
+        comparison) — no mask operand, no VMEM cost, so large-window
+        shifted layers stay eligible.
 
     Callers should guard with :func:`eligible`; this function asserts the
     same invariants rather than silently falling back."""
     bp, length, c = q.shape
+    if mask is not None and shift_windows is not None:
+        raise ValueError("pass either mask or shift_windows, not both")
     if mask is not None and bp % mask.shape[0] != 0:
         raise ValueError(
             f"window count {bp} not a multiple of mask periods {mask.shape[0]}"
         )
-    return _win_attention_ad(interpret, q, k, v, mask)
+    if shift_windows is not None:
+        kw, hs, ws = shift_windows
+        if hs * ws != length or bp % (kw * kw) != 0:
+            raise ValueError(
+                f"shift_windows {shift_windows} inconsistent with tokens "
+                f"({bp}, {length})"
+            )
+    return _win_attention_ad(interpret, shift_windows, q, k, v, mask)

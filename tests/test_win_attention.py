@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from color_transfer_tpu.ops.win_attention import (
     _pick_wb,
     eligible,
+    shift_window_mask,
     window_attention_fused,
     window_attention_xla,
 )
@@ -54,6 +55,50 @@ class TestKernelParity:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+    @pytest.mark.parametrize(
+        "k,hs,ws,imgs",
+        [(2, 4, 6, 1), (2, 5, 7, 2), (4, 2, 3, 1)],  # odd + even windows
+    )
+    def test_shift_geometry_matches_numpy_mask(self, rng, k, hs, ws, imgs):
+        # The in-kernel geometry mask must equal the trace-time numpy swin
+        # mask (reference unimatch/utils.py:87-111) for every window.
+        bp, length, c = imgs * k * k, hs * ws, 32
+        q, kk, v = _qkv(rng, bp, length, c)
+        out = window_attention_fused(
+            q, kk, v, shift_windows=(k, hs, ws), interpret=True
+        )
+        mask = jnp.asarray(shift_window_mask(k * hs, k * ws, k))
+        ref = window_attention_xla(q, kk, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_shift_geometry_grad_matches_xla(self, rng):
+        k, hs, ws, c = 2, 4, 6, 32
+        q, kk, v = _qkv(rng, k * k, hs * ws, c)
+        mask = jnp.asarray(shift_window_mask(k * hs, k * ws, k))
+
+        def loss_fused(q, kk, v):
+            return window_attention_fused(
+                q, kk, v, shift_windows=(k, hs, ws), interpret=True
+            ).sum()
+
+        def loss_ref(q, kk, v):
+            return window_attention_xla(q, kk, v, mask).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, kk, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kk, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_mask_and_geometry_mutually_exclusive(self, rng):
+        q, k, v = _qkv(rng, 4, 8, 32)
+        mask = jnp.zeros((4, 8, 8), jnp.float32)
+        with pytest.raises(ValueError, match="not both"):
+            window_attention_fused(
+                q, k, v, mask, shift_windows=(2, 2, 4), interpret=True
+            )
 
     def test_mask_period_mismatch_raises(self, rng):
         q, k, v = _qkv(rng, 6, 8, 32)
