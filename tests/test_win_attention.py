@@ -155,6 +155,25 @@ class TestRouting:
         np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
                                    rtol=1e-6, atol=1e-5)
 
+    def test_fused_flag_actually_routes_to_kernel(self, rng):
+        # Guard against silent-fallback regressions: with the flag on (and
+        # eligible shapes) the traced program must contain a pallas_call;
+        # with it off it must not.
+        from color_transfer_tpu.models.gmflow import FeatureTransformer
+
+        f0 = jnp.asarray(rng.normal(size=(2, 8, 16, 32)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(2, 8, 16, 32)).astype(np.float32))
+        base = FeatureTransformer(num_layers=2, d_model=32)
+        fused = FeatureTransformer(num_layers=2, d_model=32,
+                                   fused_attention="interpret")
+        variables = base.init(jax.random.PRNGKey(0), f0, f1, 2)
+        jaxpr_fused = str(jax.make_jaxpr(
+            lambda v, a, b: fused.apply(v, a, b, 2))(variables, f0, f1))
+        jaxpr_base = str(jax.make_jaxpr(
+            lambda v, a, b: base.apply(v, a, b, 2))(variables, f0, f1))
+        assert "pallas_call" in jaxpr_fused
+        assert "pallas_call" not in jaxpr_base
+
     def test_fused_true_off_tpu_falls_back(self, rng):
         # On the CPU test backend, fused_attention=True must silently take
         # the XLA path (no Mosaic compile attempted) and match exactly.
