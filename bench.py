@@ -237,9 +237,44 @@ def check_win_attention_kernel_integrity():
                 f"win-attention {np.dtype(dtype).name} {tag}: "
                 f"{bad.mean():.5%} of elements diverge compiled-vs-interpret"
             )
+    # Whole-sublayer kernel (q/kv projections + attention + merge) — the
+    # mode the DMSCT fused routing actually uses.
+    from color_transfer_tpu.ops.win_attention import window_sublayer_fused
+
+    wq = jnp.asarray((rng.normal(size=(c, c)) / np.sqrt(c)).astype(np.float32))
+    wkv = jnp.asarray(
+        (rng.normal(size=(c, 2 * c)) / np.sqrt(c)).astype(np.float32)
+    )
+    wm = jnp.asarray((rng.normal(size=(c, c)) / np.sqrt(c)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        xs = q.astype(dtype)
+        xt = k.astype(dtype)
+        ws_ = tuple(x.astype(dtype) for x in (wq, wkv, wm))
+        for tag, geom in (("plain", None), ("geometry", (4, 10, 12))):
+            compiled = np.asarray(
+                jax.jit(
+                    lambda a, b: window_sublayer_fused(
+                        a, b, *ws_, shift_windows=geom
+                    )
+                )(xs, xt),
+                dtype=np.float32,
+            )
+            interp = np.asarray(
+                window_sublayer_fused(
+                    xs, xt, *ws_, shift_windows=geom, interpret=True
+                ),
+                dtype=np.float32,
+            )
+            tol = 1e-4 if dtype == jnp.float32 else 5e-2
+            bad = np.abs(compiled - interp) > tol
+            assert not bad.any(), (
+                f"win-sublayer {np.dtype(dtype).name} {tag}: "
+                f"{bad.mean():.5%} of elements diverge compiled-vs-interpret"
+            )
     print(
         "[bench] win-attention kernel integrity: compiled == interpret "
-        "(f32+bf16, unmasked+masked+geometry)",
+        "(attention f32+bf16 unmasked+masked+geometry; sublayer "
+        "f32+bf16 plain+geometry)",
         file=sys.stderr,
     )
 

@@ -42,6 +42,7 @@ from color_transfer_tpu.ops.win_attention import (
     eligible as win_eligible,
     shift_window_mask as _shift_window_mask,
     window_attention_fused,
+    window_sublayer_fused,
 )
 
 # ---------------------------------------------------------------------------
@@ -287,20 +288,55 @@ class TransformerLayer(nn.Module):
         # so the fused dots are numerically identical to the separate ones.
         c_in = source.shape[-1]
 
-        def _proj(name):
+        def _proj(name, in_dim=None):
             return self.param(
-                name, lambda key: {"kernel": init(key, (c_in, self.d_model))}
+                name,
+                lambda key: {
+                    "kernel": init(key, (in_dim or c_in, self.d_model))
+                },
             )["kernel"]
 
+        # merge is an explicit param too (same {"merge": {"kernel"}} tree as
+        # the nn.Dense child it replaces; its input is the d_model-wide
+        # attention message) so the fused sublayer kernel can take it as an
+        # operand.
         wq, wk, wv = _proj("q_proj"), _proj("k_proj"), _proj("v_proj")
+        wm = _proj("merge", in_dim=self.d_model)
+
+        def _cast(x):
+            return x if self.dtype is None else x.astype(self.dtype)
 
         def _dot(x, w):
-            if self.dtype is not None:
-                x = x.astype(self.dtype)
-                w = w.astype(self.dtype)
-            return x @ w
+            return _cast(x) @ _cast(w)
 
-        if is_self:
+        # Fused whole-sublayer path: q/kv projections + windowed attention
+        # + merge projection in ONE Pallas call with the weights
+        # VMEM-resident — one read of the token tensors and one write of
+        # the merged message instead of four HBM passes.
+        fused = self.fused_attention
+        if fused is True and jax.default_backend() != "tpu":
+            fused = False  # Mosaic kernels need the TPU backend
+        q_shape = (*source.shape[:-1], self.d_model)
+        q_dtype = source.dtype if self.dtype is None else self.dtype
+        sublayer_fused = (
+            windowed
+            and fused
+            and c_in == self.d_model
+            and win_eligible(q_shape, q_dtype, None)
+        )
+        if sublayer_fused:
+            message = window_sublayer_fused(
+                _cast(source),
+                _cast(source if is_self else target),
+                _cast(wq),
+                _cast(jnp.concatenate([wk, wv], axis=1)),
+                _cast(wm),
+                shift_windows=(
+                    (attn_num_splits, h, w) if win_mask is not None else None
+                ),
+                interpret=fused == "interpret",
+            )
+        elif is_self:
             qkv = _dot(source, jnp.concatenate([wq, wk, wv], axis=1))
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
@@ -311,14 +347,13 @@ class TransformerLayer(nn.Module):
         # attn_type routing mirrors reference unimatch/transformer.py:65-138:
         # 'swin' (the flow config) uses 2D shifted windows for both self and
         # cross attention; the stereo variants use 1D cross attention.
-        if windowed:
+        if sublayer_fused:
+            pass  # message already holds the merged sublayer output
+        elif windowed:
             # win_mask is the SMALL (k*k, L, L) shift mask (or None); the
-            # XLA path tiles it, the fused kernel regenerates it in-kernel
-            # from window geometry (h/w are the window dims here) so no
-            # mask operand rides in VMEM.
-            fused = self.fused_attention
-            if fused is True and jax.default_backend() != "tpu":
-                fused = False  # Mosaic kernels need the TPU backend
+            # XLA path tiles it, the attention-only fused kernel regenerates
+            # it in-kernel from window geometry (h/w are the window dims
+            # here) so no mask operand rides in VMEM.
             if fused and win_eligible(q.shape, q.dtype, None):
                 message = window_attention_fused(
                     q, k, v,
@@ -353,8 +388,11 @@ class TransformerLayer(nn.Module):
                 message = full_attention_1d(q, k, v, h, w)
         else:
             raise ValueError(f"unknown attn_type {attn_type!r}")
-        message = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
-                           dtype=self.dtype, name="merge")(message)
+        if not sublayer_fused:
+            # The merge projection (the kernel already applied it on the
+            # fused path). Identical to the nn.Dense(use_bias=False) child
+            # it replaces: same param tree, same cast chain.
+            message = _dot(message, wm)
         # LayerNorm statistics stay f32 (flax upcasts internally); only the
         # output is cast back to the compute dtype.
         message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)

@@ -268,6 +268,144 @@ def _call(q, k, v, mask, shift_windows, interpret):
     )(q, k, v, mask.astype(jnp.float32))
 
 
+def window_sublayer_xla(x_src, x_tgt, w_q, w_kv, w_merge, mask=None):
+    """XLA reference for the fused attention SUBLAYER: q/kv projections +
+    windowed attention + merge projection. Mirrors the exact cast chain of
+    models/gmflow.py::TransformerLayer's windowed path."""
+    c = w_q.shape[1]
+    q = x_src @ w_q
+    kv = x_tgt @ w_kv
+    k, v = kv[..., :c], kv[..., c:]
+    msg = window_attention_xla(q, k, v, mask)
+    return msg @ w_merge
+
+
+def _kernel_sublayer(
+    xs_ref, xt_ref, wq_ref, wkv_ref, wm_ref, o_ref, *, scale, wb, geom
+):
+    """Whole attention sublayer per window group, weights VMEM-resident:
+    one read of the token tensors and one write of the merged message
+    replace the four HBM passes of the op-by-op lowering (qkv dot,
+    attention in, attention out, merge dot)."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if xs_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    c = wq_ref.shape[1]
+    base = pl.program_id(0) * wb
+
+    def _dot(a, b, contract=((1,), (0,))):
+        return jax.lax.dot_general(
+            a, b, (contract, ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    def body(j, carry):
+        xsj = xs_ref[j]
+        xtj = xt_ref[j]
+        dtype = xsj.dtype
+        q = _dot(xsj, wq_ref[...]).astype(dtype)
+        kv = _dot(xtj, wkv_ref[...]).astype(dtype)
+        k, v = kv[:, :c], kv[:, c:]
+        s = _dot(q, k, contract=((1,), (1,))) * scale
+        if geom is not None:
+            kw, hs, ws = geom
+            reg_i, reg_j = _region_vectors(
+                jax.lax.rem(base + j, kw * kw), kw, hs, ws
+            )
+            s = jnp.where(reg_i != reg_j, s - 100.0, s)
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        msg = _dot(p, v).astype(dtype)
+        o_ref[j] = _dot(msg, wm_ref[...]).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, wb, body, 0)
+
+
+def _sublayer_call(x_src, x_tgt, w_q, w_kv, w_merge, shift_windows, interpret):
+    bp, length, c = x_src.shape
+    wb = _pick_wb(bp, length, c, jnp.dtype(x_src.dtype).itemsize, None)
+    grid = (bp // wb,)
+    tok_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
+
+    def _w_spec(w):
+        return pl.BlockSpec(w.shape, lambda i: (0, 0))
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_sublayer,
+            scale=1.0 / math.sqrt(c),
+            wb=wb,
+            geom=shift_windows,
+        ),
+        grid=grid,
+        in_specs=[tok_spec, tok_spec, _w_spec(w_q), _w_spec(w_kv),
+                  _w_spec(w_merge)],
+        out_specs=tok_spec,
+        out_shape=jax.ShapeDtypeStruct(x_src.shape, x_src.dtype),
+        interpret=interpret,
+    )(x_src, x_tgt, w_q, w_kv, w_merge)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _win_sublayer_ad(interpret, shift_windows, x_src, x_tgt, w_q, w_kv, w_m):
+    return _sublayer_call(x_src, x_tgt, w_q, w_kv, w_m, shift_windows,
+                          interpret)
+
+
+def _win_sublayer_fwd(interpret, shift_windows, x_src, x_tgt, w_q, w_kv, w_m):
+    out = _win_sublayer_ad(interpret, shift_windows, x_src, x_tgt, w_q,
+                           w_kv, w_m)
+    return out, (x_src, x_tgt, w_q, w_kv, w_m)
+
+
+def _win_sublayer_bwd(interpret, shift_windows, residuals, g):
+    x_src, x_tgt, w_q, w_kv, w_m = residuals
+    mask = None
+    if shift_windows is not None:
+        kw, hs, ws = shift_windows
+        mask = jnp.asarray(shift_window_mask(kw * hs, kw * ws, kw)).astype(
+            jnp.float32
+        )
+    _, vjp = jax.vjp(
+        lambda a, b, c_, d, e: window_sublayer_xla(a, b, c_, d, e, mask),
+        x_src, x_tgt, w_q, w_kv, w_m,
+    )
+    return vjp(g)
+
+
+_win_sublayer_ad.defvjp(_win_sublayer_fwd, _win_sublayer_bwd)
+
+
+def window_sublayer_fused(x_src, x_tgt, w_q, w_kv, w_merge, *,
+                          shift_windows=None, interpret=False):
+    """Fused attention sublayer (q/kv projections + windowed attention +
+    merge projection). x_src/x_tgt: (B', L, C) window-major tokens (pass
+    x_src twice for self-attention — AD sums the two cotangents); weights
+    (C, C) / (C, 2C) / (C, C), same dtype as the tokens. shift_windows =
+    (k, hs, ws) generates the swin mask in-kernel.
+
+    f32 dots run at Precision.HIGHEST inside the kernel (this backend
+    lowers default f32 dots to one-pass bf16), so compiled results can be
+    slightly MORE accurate than the XLA default-precision path."""
+    bp, length, c = x_src.shape
+    if x_tgt.shape != x_src.shape or x_tgt.dtype != x_src.dtype:
+        raise ValueError("x_src/x_tgt must match in shape and dtype")
+    if w_q.shape != (c, c) or w_kv.shape != (c, 2 * c) or \
+            w_merge.shape != (c, c):
+        raise ValueError("weight shapes must be (C,C)/(C,2C)/(C,C)")
+    if shift_windows is not None:
+        kw, hs, ws = shift_windows
+        if hs * ws != length or bp % (kw * kw) != 0:
+            raise ValueError(
+                f"shift_windows {shift_windows} inconsistent with tokens "
+                f"({bp}, {length})"
+            )
+    return _win_sublayer_ad(interpret, shift_windows, x_src, x_tgt, w_q,
+                            w_kv, w_merge)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _win_attention_ad(interpret, shift_windows, q, k, v, mask):
     return _call(q, k, v, mask, shift_windows, interpret)

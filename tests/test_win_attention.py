@@ -17,6 +17,8 @@ from color_transfer_tpu.ops.win_attention import (
     shift_window_mask,
     window_attention_fused,
     window_attention_xla,
+    window_sublayer_fused,
+    window_sublayer_xla,
 )
 
 
@@ -125,6 +127,88 @@ class TestKernelParity:
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestSublayerKernel:
+    """Whole-sublayer kernel (q/kv projections + attention + merge)."""
+
+    def _weights(self, rng, c):
+        mk = lambda shape: jnp.asarray(
+            (rng.normal(size=shape) / np.sqrt(shape[0])).astype(np.float32)
+        )
+        return mk((c, c)), mk((c, 2 * c)), mk((c, c))
+
+    @pytest.mark.parametrize("self_attn", [True, False])
+    def test_parity_unshifted(self, rng, self_attn):
+        bp, length, c = 8, 24, 32
+        xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
+        xt = xs if self_attn else jnp.asarray(
+            rng.normal(size=(bp, length, c)).astype(np.float32)
+        )
+        wq, wkv, wm = self._weights(rng, c)
+        out = window_sublayer_fused(xs, xt, wq, wkv, wm, interpret=True)
+        ref = window_sublayer_xla(xs, xt, wq, wkv, wm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("k,hs,ws,imgs", [(2, 4, 6, 1), (2, 5, 7, 2)])
+    def test_parity_shifted_geometry(self, rng, k, hs, ws, imgs):
+        bp, length, c = imgs * k * k, hs * ws, 32
+        xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
+        xt = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
+        wq, wkv, wm = self._weights(rng, c)
+        out = window_sublayer_fused(
+            xs, xt, wq, wkv, wm, shift_windows=(k, hs, ws), interpret=True
+        )
+        mask = jnp.asarray(shift_window_mask(k * hs, k * ws, k))
+        ref = window_sublayer_xla(xs, xt, wq, wkv, wm, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_bf16(self, rng):
+        bp, length, c = 4, 16, 32
+        xs = jnp.asarray(
+            rng.normal(size=(bp, length, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        wq, wkv, wm = (w.astype(jnp.bfloat16)
+                       for w in self._weights(rng, c))
+        out = window_sublayer_fused(xs, xs, wq, wkv, wm, interpret=True)
+        ref = window_sublayer_xla(xs, xs, wq, wkv, wm)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=4e-2, atol=4e-2,
+        )
+
+    def test_grad_matches_xla(self, rng):
+        bp, length, c = 4, 12, 32
+        xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
+        wq, wkv, wm = self._weights(rng, c)
+        k_geom = (2, 3, 4)
+
+        def loss_fused(xs, wq, wkv, wm):
+            # self-attention: same tensor twice — AD must sum cotangents
+            return window_sublayer_fused(
+                xs, xs, wq, wkv, wm, shift_windows=k_geom, interpret=True
+            ).sum()
+
+        mask = jnp.asarray(shift_window_mask(2 * 3, 2 * 4, 2))
+
+        def loss_ref(xs, wq, wkv, wm):
+            return window_sublayer_xla(xs, xs, wq, wkv, wm, mask).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xs, wq, wkv, wm)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xs, wq, wkv, wm)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_shape_validation(self, rng):
+        xs = jnp.zeros((4, 8, 32), jnp.float32)
+        with pytest.raises(ValueError, match="weight shapes"):
+            window_sublayer_fused(
+                xs, xs, jnp.zeros((32, 32)), jnp.zeros((32, 32)),
+                jnp.zeros((32, 32)), interpret=True
+            )
 
 
 class TestRouting:
