@@ -271,10 +271,34 @@ def check_win_attention_kernel_integrity():
                 f"win-sublayer {np.dtype(dtype).name} {tag}: "
                 f"{bad.mean():.5%} of elements diverge compiled-vs-interpret"
             )
+    # Fused FFN kernel (the third routed mode).
+    from color_transfer_tpu.ops.win_attention import ffn_fused
+
+    w0 = jnp.asarray(
+        (rng.normal(size=(2 * c, 512)) / np.sqrt(2 * c)).astype(np.float32)
+    )
+    w2 = jnp.asarray(
+        (rng.normal(size=(512, c)) / np.sqrt(512)).astype(np.float32)
+    )
+    for dtype in (jnp.float32, jnp.bfloat16):
+        xs, xm = q.astype(dtype), k.astype(dtype)
+        a0, a2 = w0.astype(dtype), w2.astype(dtype)
+        compiled = np.asarray(
+            jax.jit(ffn_fused)(xs, xm, a0, a2), dtype=np.float32
+        )
+        interp = np.asarray(
+            ffn_fused(xs, xm, a0, a2, interpret=True), dtype=np.float32
+        )
+        tol = 1e-4 if dtype == jnp.float32 else 5e-2
+        bad = np.abs(compiled - interp) > tol
+        assert not bad.any(), (
+            f"ffn kernel {np.dtype(dtype).name}: {bad.mean():.5%} of "
+            "elements diverge compiled-vs-interpret"
+        )
     print(
         "[bench] win-attention kernel integrity: compiled == interpret "
         "(attention f32+bf16 unmasked+masked+geometry; sublayer "
-        "f32+bf16 plain+geometry)",
+        "f32+bf16 plain+geometry; ffn f32+bf16)",
         file=sys.stderr,
     )
 

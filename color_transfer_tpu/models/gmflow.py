@@ -40,6 +40,8 @@ from color_transfer_tpu.core.sampling import (
 )
 from color_transfer_tpu.ops.win_attention import (
     eligible as win_eligible,
+    ffn_eligible,
+    ffn_fused,
     shift_window_mask as _shift_window_mask,
     window_attention_fused,
     window_sublayer_fused,
@@ -398,12 +400,34 @@ class TransformerLayer(nn.Module):
         message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
 
         if not self.no_ffn:
-            y = jnp.concatenate([source, message], axis=-1)
-            y = nn.Dense(2 * self.d_model * self.ffn_dim_expansion, use_bias=False,
-                         kernel_init=init, dtype=self.dtype, name="mlp_0")(y)
-            y = nn.gelu(y, approximate=False)
-            message = nn.Dense(self.d_model, use_bias=False, kernel_init=init,
-                               dtype=self.dtype, name="mlp_2")(y)
+            # mlp_0/mlp_2 as explicit params (same tree as the nn.Dense
+            # children they replace) so the fused FFN kernel can take them
+            # as operands; the XLA fallback reproduces Dense's exact math.
+            f_dim = 2 * self.d_model * self.ffn_dim_expansion
+            w0 = self.param(
+                "mlp_0",
+                lambda key: {
+                    "kernel": init(key, (c_in + self.d_model, f_dim))
+                },
+            )["kernel"]
+            w2 = self.param(
+                "mlp_2",
+                lambda key: {"kernel": init(key, (f_dim, self.d_model))},
+            )["kernel"]
+            if (
+                windowed
+                and fused
+                and c_in == self.d_model
+                and ffn_eligible(q_shape, q_dtype, f_dim)
+            ):
+                message = ffn_fused(
+                    _cast(source), _cast(message), _cast(w0), _cast(w2),
+                    interpret=fused == "interpret",
+                )
+            else:
+                y = jnp.concatenate([source, message], axis=-1)
+                y = nn.gelu(_dot(y, w0), approximate=False)
+                message = _dot(y, w2)
             message = nn.LayerNorm(dtype=self.dtype, name="norm2")(message)
         return source + message
 

@@ -406,6 +406,120 @@ def window_sublayer_fused(x_src, x_tgt, w_q, w_kv, w_merge, *,
                             w_kv, w_merge)
 
 
+def ffn_xla(x_src, x_msg, w0, w2):
+    """XLA reference for the transformer FFN: exact-gelu MLP over the
+    [source | message] concatenation (reference transformer.py:28-34),
+    mirroring the cast chain of the nn.Dense path."""
+    y = jnp.concatenate([x_src, x_msg], axis=-1) @ w0
+    y = jax.nn.gelu(y, approximate=False)
+    return y @ w2
+
+
+def _ffn_working_set(wb, length, c, itemsize, ffn_dim):
+    return (
+        2 * 3 * wb * length * c * itemsize  # double-buffered src/msg/out
+        + length * ffn_dim * 4              # in-flight f32 intermediate
+        + (2 * c + c) * ffn_dim * itemsize  # resident w0/w2
+    )
+
+
+def _pick_wb_ffn(bp, length, c, itemsize, ffn_dim):
+    for wb in (8, 4, 2):
+        if bp % wb == 0 and (
+            _ffn_working_set(wb, length, c, itemsize, ffn_dim) <= _VMEM_CAP
+        ):
+            return wb
+    return 1
+
+
+def ffn_eligible(x_shape, x_dtype, ffn_dim):
+    """VMEM guard for the fused FFN kernel."""
+    bp, length, c = x_shape
+    itemsize = jnp.dtype(x_dtype).itemsize
+    wb = _pick_wb_ffn(bp, length, c, itemsize, ffn_dim)
+    return _ffn_working_set(wb, length, c, itemsize, ffn_dim) <= _VMEM_CAP
+
+
+def _kernel_ffn(xs_ref, xm_ref, w0_ref, w2_ref, o_ref, *, wb, c):
+    """gelu([src|msg] @ w0) @ w2 per window group — the (L, ffn_dim) f32
+    intermediate lives only in VMEM (the XLA lowering round-trips it
+    through HBM: ~3 GB per layer at the DMSCT scale1 train shape). The
+    concatenated first dot splits into two dots over w0's row blocks,
+    which is numerically identical."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if xs_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, ((((1,), (0,))), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    def body(j, carry):
+        xsj = xs_ref[j]
+        xmj = xm_ref[j]
+        dtype = xsj.dtype
+        y = (_dot(xsj, w0_ref[:c]) + _dot(xmj, w0_ref[c:])).astype(dtype)
+        y = jax.nn.gelu(y, approximate=False)
+        o_ref[j] = _dot(y, w2_ref[...]).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, wb, body, 0)
+
+
+def _ffn_call(x_src, x_msg, w0, w2, interpret):
+    bp, length, c = x_src.shape
+    wb = _pick_wb_ffn(
+        bp, length, c, jnp.dtype(x_src.dtype).itemsize, w0.shape[1]
+    )
+    grid = (bp // wb,)
+    tok_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
+
+    def _w_spec(w):
+        return pl.BlockSpec(w.shape, lambda i: (0, 0))
+
+    return pl.pallas_call(
+        functools.partial(_kernel_ffn, wb=wb, c=c),
+        grid=grid,
+        in_specs=[tok_spec, tok_spec, _w_spec(w0), _w_spec(w2)],
+        out_specs=tok_spec,
+        out_shape=jax.ShapeDtypeStruct(x_src.shape, x_src.dtype),
+        interpret=interpret,
+    )(x_src, x_msg, w0, w2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ffn_ad(interpret, x_src, x_msg, w0, w2):
+    return _ffn_call(x_src, x_msg, w0, w2, interpret)
+
+
+def _ffn_fwd(interpret, x_src, x_msg, w0, w2):
+    return _ffn_ad(interpret, x_src, x_msg, w0, w2), (x_src, x_msg, w0, w2)
+
+
+def _ffn_bwd(interpret, residuals, g):
+    return jax.vjp(ffn_xla, *residuals)[1](g)
+
+
+_ffn_ad.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+def ffn_fused(x_src, x_msg, w0, w2, *, interpret=False):
+    """Fused transformer FFN over window-major tokens. x_src/x_msg:
+    (B', L, C); w0: (2C, F); w2: (F, C). Guard with :func:`ffn_eligible`."""
+    bp, length, c = x_src.shape
+    if x_msg.shape != x_src.shape or x_msg.dtype != x_src.dtype:
+        raise ValueError("x_src/x_msg must match in shape and dtype")
+    if w0.shape[0] != 2 * c or w2.shape != (w0.shape[1], c):
+        raise ValueError(
+            f"weight shapes {w0.shape}/{w2.shape} inconsistent with C={c}"
+        )
+    return _ffn_ad(interpret, x_src, x_msg, w0, w2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _win_attention_ad(interpret, shift_windows, q, k, v, mask):
     return _call(q, k, v, mask, shift_windows, interpret)

@@ -14,6 +14,9 @@ import jax.numpy as jnp
 from color_transfer_tpu.ops.win_attention import (
     _pick_wb,
     eligible,
+    ffn_eligible,
+    ffn_fused,
+    ffn_xla,
     shift_window_mask,
     window_attention_fused,
     window_attention_xla,
@@ -209,6 +212,63 @@ class TestSublayerKernel:
                 xs, xs, jnp.zeros((32, 32)), jnp.zeros((32, 32)),
                 jnp.zeros((32, 32)), interpret=True
             )
+
+
+class TestFFNKernel:
+    """Fused exact-gelu FFN kernel — the (L, ffn_dim) intermediate stays
+    in VMEM; the split first dot must equal the concatenated one."""
+
+    def _setup(self, rng, bp=6, length=16, c=32, f=64, dtype=np.float32):
+        mk = lambda shape: jnp.asarray(
+            (rng.normal(size=shape) / np.sqrt(shape[0])).astype(dtype)
+        )
+        xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(dtype))
+        xm = jnp.asarray(rng.normal(size=(bp, length, c)).astype(dtype))
+        return xs, xm, mk((2 * c, f)), mk((f, c))
+
+    def test_parity_f32(self, rng):
+        xs, xm, w0, w2 = self._setup(rng)
+        out = ffn_fused(xs, xm, w0, w2, interpret=True)
+        ref = ffn_xla(xs, xm, w0, w2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_parity_bf16(self, rng):
+        xs, xm, w0, w2 = (
+            x.astype(jnp.bfloat16) for x in self._setup(rng)
+        )
+        out = ffn_fused(xs, xm, w0, w2, interpret=True)
+        ref = ffn_xla(xs, xm, w0, w2)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=4e-2, atol=4e-2,
+        )
+
+    def test_grad_matches_xla(self, rng):
+        xs, xm, w0, w2 = self._setup(rng, bp=4, length=8)
+
+        def loss_fused(*args):
+            return ffn_fused(*args, interpret=True).sum()
+
+        def loss_ref(*args):
+            return ffn_xla(*args).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xs, xm, w0, w2)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xs, xm, w0, w2)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_eligibility(self):
+        # train scale1 and fullres scale1 both fit; absurd ffn_dim does not
+        assert ffn_eligible((6144, 120, 128), jnp.float32, 1024)
+        assert ffn_eligible((256, 448, 128), jnp.float32, 1024)
+        assert not ffn_eligible((8, 4096, 128), jnp.float32, 65536)
+
+    def test_shape_validation(self, rng):
+        xs, xm, w0, w2 = self._setup(rng)
+        with pytest.raises(ValueError, match="inconsistent"):
+            ffn_fused(xs, xm, w0[:10], w2, interpret=True)
 
 
 class TestRouting:
