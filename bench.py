@@ -246,6 +246,8 @@ def check_win_attention_kernel_integrity():
         (rng.normal(size=(c, 2 * c)) / np.sqrt(c)).astype(np.float32)
     )
     wm = jnp.asarray((rng.normal(size=(c, c)) / np.sqrt(c)).astype(np.float32))
+    ns = jnp.asarray((1 + 0.1 * rng.normal(size=c)).astype(np.float32))
+    nb = jnp.asarray((0.1 * rng.normal(size=c)).astype(np.float32))
     for dtype in (jnp.float32, jnp.bfloat16):
         xs = q.astype(dtype)
         xt = k.astype(dtype)
@@ -254,14 +256,16 @@ def check_win_attention_kernel_integrity():
             compiled = np.asarray(
                 jax.jit(
                     lambda a, b: window_sublayer_fused(
-                        a, b, *ws_, shift_windows=geom
+                        a, b, *ws_, ns, nb, shift_windows=geom,
+                        add_residual=True,
                     )
                 )(xs, xt),
                 dtype=np.float32,
             )
             interp = np.asarray(
                 window_sublayer_fused(
-                    xs, xt, *ws_, shift_windows=geom, interpret=True
+                    xs, xt, *ws_, ns, nb, shift_windows=geom,
+                    add_residual=True, interpret=True
                 ),
                 dtype=np.float32,
             )
@@ -284,10 +288,16 @@ def check_win_attention_kernel_integrity():
         xs, xm = q.astype(dtype), k.astype(dtype)
         a0, a2 = w0.astype(dtype), w2.astype(dtype)
         compiled = np.asarray(
-            jax.jit(ffn_fused)(xs, xm, a0, a2), dtype=np.float32
+            jax.jit(
+                lambda a, b: ffn_fused(a, b, a0, a2, ns, nb,
+                                       add_residual=True)
+            )(xs, xm),
+            dtype=np.float32,
         )
         interp = np.asarray(
-            ffn_fused(xs, xm, a0, a2, interpret=True), dtype=np.float32
+            ffn_fused(xs, xm, a0, a2, ns, nb, add_residual=True,
+                      interpret=True),
+            dtype=np.float32,
         )
         tol = 1e-4 if dtype == jnp.float32 else 5e-2
         bad = np.abs(compiled - interp) > tol

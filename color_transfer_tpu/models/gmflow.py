@@ -42,6 +42,7 @@ from color_transfer_tpu.ops.win_attention import (
     eligible as win_eligible,
     ffn_eligible,
     ffn_fused,
+    layer_norm,
     shift_window_mask as _shift_window_mask,
     window_attention_fused,
     window_sublayer_fused,
@@ -298,12 +299,25 @@ class TransformerLayer(nn.Module):
                 },
             )["kernel"]
 
-        # merge is an explicit param too (same {"merge": {"kernel"}} tree as
-        # the nn.Dense child it replaces; its input is the d_model-wide
-        # attention message) so the fused sublayer kernel can take it as an
-        # operand.
+        # merge and the LayerNorms are explicit params too (same
+        # {"merge": {"kernel"}} / {"norm1": {"scale", "bias"}} trees as the
+        # nn.Dense / nn.LayerNorm children they replace) so the fused
+        # kernels can take them as operands.
         wq, wk, wv = _proj("q_proj"), _proj("k_proj"), _proj("v_proj")
         wm = _proj("merge", in_dim=self.d_model)
+
+        def _norm_params(name):
+            d = self.d_model
+            p = self.param(
+                name,
+                lambda key: {
+                    "scale": jnp.ones((d,), jnp.float32),
+                    "bias": jnp.zeros((d,), jnp.float32),
+                },
+            )
+            return p["scale"], p["bias"]
+
+        n1_scale, n1_bias = _norm_params("norm1")
 
         def _cast(x):
             return x if self.dtype is None else x.astype(self.dtype)
@@ -333,11 +347,18 @@ class TransformerLayer(nn.Module):
                 _cast(wq),
                 _cast(jnp.concatenate([wk, wv], axis=1)),
                 _cast(wm),
+                n1_scale,
+                n1_bias,
                 shift_windows=(
                     (attn_num_splits, h, w) if win_mask is not None else None
                 ),
+                add_residual=self.no_ffn,
                 interpret=fused == "interpret",
             )
+            if self.no_ffn:
+                # The kernel already emitted source + LN1(sublayer) — the
+                # complete no-FFN layer output.
+                return message
         elif is_self:
             qkv = _dot(source, jnp.concatenate([wq, wk, wv], axis=1))
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -391,18 +412,19 @@ class TransformerLayer(nn.Module):
         else:
             raise ValueError(f"unknown attn_type {attn_type!r}")
         if not sublayer_fused:
-            # The merge projection (the kernel already applied it on the
-            # fused path). Identical to the nn.Dense(use_bias=False) child
-            # it replaces: same param tree, same cast chain.
+            # Merge projection + LayerNorm (the fused kernel already
+            # applied both). Identical to the nn.Dense(use_bias=False) /
+            # nn.LayerNorm children they replace: same param trees, same
+            # cast chains (LN stats in f32, output cast to compute dtype).
             message = _dot(message, wm)
-        # LayerNorm statistics stay f32 (flax upcasts internally); only the
-        # output is cast back to the compute dtype.
-        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
+            message = layer_norm(message, n1_scale, n1_bias,
+                                 out_dtype=self.dtype)
 
         if not self.no_ffn:
-            # mlp_0/mlp_2 as explicit params (same tree as the nn.Dense
-            # children they replace) so the fused FFN kernel can take them
-            # as operands; the XLA fallback reproduces Dense's exact math.
+            # mlp_0/mlp_2/norm2 as explicit params (same trees as the
+            # nn.Dense / nn.LayerNorm children they replace) so the fused
+            # FFN kernel can take them as operands; the XLA fallback
+            # reproduces the children's exact math.
             f_dim = 2 * self.d_model * self.ffn_dim_expansion
             w0 = self.param(
                 "mlp_0",
@@ -414,21 +436,24 @@ class TransformerLayer(nn.Module):
                 "mlp_2",
                 lambda key: {"kernel": init(key, (f_dim, self.d_model))},
             )["kernel"]
+            n2_scale, n2_bias = _norm_params("norm2")
             if (
                 windowed
                 and fused
                 and c_in == self.d_model
                 and ffn_eligible(q_shape, q_dtype, f_dim)
             ):
-                message = ffn_fused(
+                # Emits source + LN2(ffn) — the complete layer output.
+                return ffn_fused(
                     _cast(source), _cast(message), _cast(w0), _cast(w2),
+                    n2_scale, n2_bias, add_residual=True,
                     interpret=fused == "interpret",
                 )
-            else:
-                y = jnp.concatenate([source, message], axis=-1)
-                y = nn.gelu(_dot(y, w0), approximate=False)
-                message = _dot(y, w2)
-            message = nn.LayerNorm(dtype=self.dtype, name="norm2")(message)
+            y = jnp.concatenate([source, message], axis=-1)
+            y = nn.gelu(_dot(y, w0), approximate=False)
+            message = _dot(y, w2)
+            message = layer_norm(message, n2_scale, n2_bias,
+                                 out_dtype=self.dtype)
         return source + message
 
 

@@ -268,25 +268,55 @@ def _call(q, k, v, mask, shift_windows, interpret):
     )(q, k, v, mask.astype(jnp.float32))
 
 
-def window_sublayer_xla(x_src, x_tgt, w_q, w_kv, w_merge, mask=None):
+def layer_norm(x, scale, bias, eps=1e-6, out_dtype=None):
+    """LayerNorm over the last axis, bit-matching flax.linen.LayerNorm's
+    computation order (f32 stats, mul = rsqrt(var+eps)*scale,
+    y = (x-mean)*mul + bias, cast to out_dtype)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mean2 - mean * mean)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    y = (xf - mean) * mul + bias.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+def window_sublayer_xla(x_src, x_tgt, w_q, w_kv, w_merge, mask=None,
+                        norm=None, add_residual=False):
     """XLA reference for the fused attention SUBLAYER: q/kv projections +
-    windowed attention + merge projection. Mirrors the exact cast chain of
-    models/gmflow.py::TransformerLayer's windowed path."""
+    windowed attention + merge projection, with optional LayerNorm
+    (norm=(scale, bias)) and residual-add epilogue. Mirrors the exact cast
+    chain of models/gmflow.py::TransformerLayer's windowed path."""
     c = w_q.shape[1]
     q = x_src @ w_q
     kv = x_tgt @ w_kv
     k, v = kv[..., :c], kv[..., c:]
     msg = window_attention_xla(q, k, v, mask)
-    return msg @ w_merge
+    msg = msg @ w_merge
+    if norm is not None:
+        msg = layer_norm(msg, norm[0], norm[1])
+    if add_residual:
+        msg = x_src + msg
+    return msg
+
+
+def _ln_epilogue(y_f32, ns_ref, nb_ref, eps=1e-6):
+    """In-kernel LayerNorm on f32 values, matching :func:`layer_norm`."""
+    mean = jnp.mean(y_f32, axis=-1, keepdims=True)
+    mean2 = jnp.mean(y_f32 * y_f32, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mean2 - mean * mean)
+    mul = jax.lax.rsqrt(var + eps) * ns_ref[0].astype(jnp.float32)
+    return (y_f32 - mean) * mul + nb_ref[0].astype(jnp.float32)
 
 
 def _kernel_sublayer(
-    xs_ref, xt_ref, wq_ref, wkv_ref, wm_ref, o_ref, *, scale, wb, geom
+    xs_ref, xt_ref, wq_ref, wkv_ref, wm_ref, ns_ref, nb_ref, o_ref, *,
+    scale, wb, geom, add_residual
 ):
     """Whole attention sublayer per window group, weights VMEM-resident:
-    one read of the token tensors and one write of the merged message
-    replace the four HBM passes of the op-by-op lowering (qkv dot,
-    attention in, attention out, merge dot)."""
+    one read of the token tensors and one write of the normalized message
+    replace the six HBM passes of the op-by-op lowering (qkv dot,
+    attention in/out, merge dot, LayerNorm, residual add)."""
     prec = (
         jax.lax.Precision.HIGHEST
         if xs_ref.dtype == jnp.float32
@@ -317,20 +347,27 @@ def _kernel_sublayer(
             s = jnp.where(reg_i != reg_j, s - 100.0, s)
         p = jax.nn.softmax(s, axis=-1).astype(dtype)
         msg = _dot(p, v).astype(dtype)
-        o_ref[j] = _dot(msg, wm_ref[...]).astype(o_ref.dtype)
+        # LN stats run on the dtype-rounded merge output (matching the
+        # layout-naive path, where the cast happens before LayerNorm).
+        y = _dot(msg, wm_ref[...]).astype(dtype).astype(jnp.float32)
+        y = _ln_epilogue(y, ns_ref, nb_ref).astype(dtype)
+        if add_residual:
+            y = xsj + y
+        o_ref[j] = y.astype(o_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, wb, body, 0)
 
 
-def _sublayer_call(x_src, x_tgt, w_q, w_kv, w_merge, shift_windows, interpret):
+def _sublayer_call(x_src, x_tgt, w_q, w_kv, w_merge, norm_scale, norm_bias,
+                   shift_windows, add_residual, interpret):
     bp, length, c = x_src.shape
     wb = _pick_wb(bp, length, c, jnp.dtype(x_src.dtype).itemsize, None)
     grid = (bp // wb,)
     tok_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
 
     def _w_spec(w):
-        return pl.BlockSpec(w.shape, lambda i: (0, 0))
+        return pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim)
 
     return pl.pallas_call(
         functools.partial(
@@ -338,30 +375,33 @@ def _sublayer_call(x_src, x_tgt, w_q, w_kv, w_merge, shift_windows, interpret):
             scale=1.0 / math.sqrt(c),
             wb=wb,
             geom=shift_windows,
+            add_residual=add_residual,
         ),
         grid=grid,
         in_specs=[tok_spec, tok_spec, _w_spec(w_q), _w_spec(w_kv),
-                  _w_spec(w_merge)],
+                  _w_spec(w_merge), _w_spec(norm_scale), _w_spec(norm_bias)],
         out_specs=tok_spec,
         out_shape=jax.ShapeDtypeStruct(x_src.shape, x_src.dtype),
         interpret=interpret,
-    )(x_src, x_tgt, w_q, w_kv, w_merge)
+    )(x_src, x_tgt, w_q, w_kv, w_merge, norm_scale, norm_bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _win_sublayer_ad(interpret, shift_windows, x_src, x_tgt, w_q, w_kv, w_m):
-    return _sublayer_call(x_src, x_tgt, w_q, w_kv, w_m, shift_windows,
-                          interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _win_sublayer_ad(interpret, shift_windows, add_residual, x_src, x_tgt,
+                     w_q, w_kv, w_m, n_s, n_b):
+    return _sublayer_call(x_src, x_tgt, w_q, w_kv, w_m, n_s, n_b,
+                          shift_windows, add_residual, interpret)
 
 
-def _win_sublayer_fwd(interpret, shift_windows, x_src, x_tgt, w_q, w_kv, w_m):
-    out = _win_sublayer_ad(interpret, shift_windows, x_src, x_tgt, w_q,
-                           w_kv, w_m)
-    return out, (x_src, x_tgt, w_q, w_kv, w_m)
+def _win_sublayer_fwd(interpret, shift_windows, add_residual, x_src, x_tgt,
+                      w_q, w_kv, w_m, n_s, n_b):
+    out = _win_sublayer_ad(interpret, shift_windows, add_residual, x_src,
+                           x_tgt, w_q, w_kv, w_m, n_s, n_b)
+    return out, (x_src, x_tgt, w_q, w_kv, w_m, n_s, n_b)
 
 
-def _win_sublayer_bwd(interpret, shift_windows, residuals, g):
-    x_src, x_tgt, w_q, w_kv, w_m = residuals
+def _win_sublayer_bwd(interpret, shift_windows, add_residual, residuals, g):
+    x_src, x_tgt, w_q, w_kv, w_m, n_s, n_b = residuals
     mask = None
     if shift_windows is not None:
         kw, hs, ws = shift_windows
@@ -369,8 +409,11 @@ def _win_sublayer_bwd(interpret, shift_windows, residuals, g):
             jnp.float32
         )
     _, vjp = jax.vjp(
-        lambda a, b, c_, d, e: window_sublayer_xla(a, b, c_, d, e, mask),
-        x_src, x_tgt, w_q, w_kv, w_m,
+        lambda a, b, c_, d, e, f_, g_: window_sublayer_xla(
+            a, b, c_, d, e, mask, norm=(f_.reshape(-1), g_.reshape(-1)),
+            add_residual=add_residual,
+        ),
+        x_src, x_tgt, w_q, w_kv, w_m, n_s, n_b,
     )
     return vjp(g)
 
@@ -378,13 +421,16 @@ def _win_sublayer_bwd(interpret, shift_windows, residuals, g):
 _win_sublayer_ad.defvjp(_win_sublayer_fwd, _win_sublayer_bwd)
 
 
-def window_sublayer_fused(x_src, x_tgt, w_q, w_kv, w_merge, *,
-                          shift_windows=None, interpret=False):
-    """Fused attention sublayer (q/kv projections + windowed attention +
-    merge projection). x_src/x_tgt: (B', L, C) window-major tokens (pass
-    x_src twice for self-attention — AD sums the two cotangents); weights
-    (C, C) / (C, 2C) / (C, C), same dtype as the tokens. shift_windows =
-    (k, hs, ws) generates the swin mask in-kernel.
+def window_sublayer_fused(x_src, x_tgt, w_q, w_kv, w_merge, norm_scale,
+                          norm_bias, *, shift_windows=None,
+                          add_residual=False, interpret=False):
+    """Fused attention sublayer: q/kv projections + windowed attention +
+    merge projection + LayerNorm (+ optional residual add). x_src/x_tgt:
+    (B', L, C) window-major tokens (pass x_src twice for self-attention —
+    AD sums the two cotangents); weights (C, C) / (C, 2C) / (C, C) and LN
+    scale/bias (C,), same dtype family as the tokens. shift_windows =
+    (k, hs, ws) generates the swin mask in-kernel; add_residual emits
+    x_src + LN(...) (the no-FFN layer's full output).
 
     f32 dots run at Precision.HIGHEST inside the kernel (this backend
     lowers default f32 dots to one-pass bf16), so compiled results can be
@@ -402,17 +448,25 @@ def window_sublayer_fused(x_src, x_tgt, w_q, w_kv, w_merge, *,
                 f"shift_windows {shift_windows} inconsistent with tokens "
                 f"({bp}, {length})"
             )
-    return _win_sublayer_ad(interpret, shift_windows, x_src, x_tgt, w_q,
-                            w_kv, w_merge)
+    return _win_sublayer_ad(
+        interpret, shift_windows, add_residual, x_src, x_tgt, w_q, w_kv,
+        w_merge, norm_scale.reshape(1, c), norm_bias.reshape(1, c),
+    )
 
 
-def ffn_xla(x_src, x_msg, w0, w2):
+def ffn_xla(x_src, x_msg, w0, w2, norm=None, add_residual=False):
     """XLA reference for the transformer FFN: exact-gelu MLP over the
     [source | message] concatenation (reference transformer.py:28-34),
-    mirroring the cast chain of the nn.Dense path."""
+    mirroring the cast chain of the nn.Dense path, with optional
+    LayerNorm (norm=(scale, bias)) and residual-add epilogue."""
     y = jnp.concatenate([x_src, x_msg], axis=-1) @ w0
     y = jax.nn.gelu(y, approximate=False)
-    return y @ w2
+    y = y @ w2
+    if norm is not None:
+        y = layer_norm(y, norm[0], norm[1])
+    if add_residual:
+        y = x_src + y
+    return y
 
 
 def _ffn_working_set(wb, length, c, itemsize, ffn_dim):
@@ -440,12 +494,13 @@ def ffn_eligible(x_shape, x_dtype, ffn_dim):
     return _ffn_working_set(wb, length, c, itemsize, ffn_dim) <= _VMEM_CAP
 
 
-def _kernel_ffn(xs_ref, xm_ref, w0_ref, w2_ref, o_ref, *, wb, c):
-    """gelu([src|msg] @ w0) @ w2 per window group — the (L, ffn_dim) f32
-    intermediate lives only in VMEM (the XLA lowering round-trips it
-    through HBM: ~3 GB per layer at the DMSCT scale1 train shape). The
-    concatenated first dot splits into two dots over w0's row blocks,
-    which is numerically identical."""
+def _kernel_ffn(xs_ref, xm_ref, w0_ref, w2_ref, ns_ref, nb_ref, o_ref, *,
+                wb, c, add_residual):
+    """gelu([src|msg] @ w0) @ w2 (+ LayerNorm + residual) per window group
+    — the (L, ffn_dim) f32 intermediate lives only in VMEM (the XLA
+    lowering round-trips it through HBM: ~3 GB per layer at the DMSCT
+    scale1 train shape). The concatenated first dot splits into two dots
+    over w0's row blocks, which is numerically identical."""
     prec = (
         jax.lax.Precision.HIGHEST
         if xs_ref.dtype == jnp.float32
@@ -464,13 +519,17 @@ def _kernel_ffn(xs_ref, xm_ref, w0_ref, w2_ref, o_ref, *, wb, c):
         dtype = xsj.dtype
         y = (_dot(xsj, w0_ref[:c]) + _dot(xmj, w0_ref[c:])).astype(dtype)
         y = jax.nn.gelu(y, approximate=False)
-        o_ref[j] = _dot(y, w2_ref[...]).astype(o_ref.dtype)
+        y = _dot(y, w2_ref[...]).astype(dtype).astype(jnp.float32)
+        y = _ln_epilogue(y, ns_ref, nb_ref).astype(dtype)
+        if add_residual:
+            y = xsj + y
+        o_ref[j] = y.astype(o_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, wb, body, 0)
 
 
-def _ffn_call(x_src, x_msg, w0, w2, interpret):
+def _ffn_call(x_src, x_msg, w0, w2, n_s, n_b, add_residual, interpret):
     bp, length, c = x_src.shape
     wb = _pick_wb_ffn(
         bp, length, c, jnp.dtype(x_src.dtype).itemsize, w0.shape[1]
@@ -479,37 +538,49 @@ def _ffn_call(x_src, x_msg, w0, w2, interpret):
     tok_spec = pl.BlockSpec((wb, length, c), lambda i: (i, 0, 0))
 
     def _w_spec(w):
-        return pl.BlockSpec(w.shape, lambda i: (0, 0))
+        return pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim)
 
     return pl.pallas_call(
-        functools.partial(_kernel_ffn, wb=wb, c=c),
+        functools.partial(_kernel_ffn, wb=wb, c=c, add_residual=add_residual),
         grid=grid,
-        in_specs=[tok_spec, tok_spec, _w_spec(w0), _w_spec(w2)],
+        in_specs=[tok_spec, tok_spec, _w_spec(w0), _w_spec(w2),
+                  _w_spec(n_s), _w_spec(n_b)],
         out_specs=tok_spec,
         out_shape=jax.ShapeDtypeStruct(x_src.shape, x_src.dtype),
         interpret=interpret,
-    )(x_src, x_msg, w0, w2)
+    )(x_src, x_msg, w0, w2, n_s, n_b)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ffn_ad(interpret, x_src, x_msg, w0, w2):
-    return _ffn_call(x_src, x_msg, w0, w2, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ffn_ad(interpret, add_residual, x_src, x_msg, w0, w2, n_s, n_b):
+    return _ffn_call(x_src, x_msg, w0, w2, n_s, n_b, add_residual, interpret)
 
 
-def _ffn_fwd(interpret, x_src, x_msg, w0, w2):
-    return _ffn_ad(interpret, x_src, x_msg, w0, w2), (x_src, x_msg, w0, w2)
+def _ffn_fwd(interpret, add_residual, x_src, x_msg, w0, w2, n_s, n_b):
+    out = _ffn_ad(interpret, add_residual, x_src, x_msg, w0, w2, n_s, n_b)
+    return out, (x_src, x_msg, w0, w2, n_s, n_b)
 
 
-def _ffn_bwd(interpret, residuals, g):
-    return jax.vjp(ffn_xla, *residuals)[1](g)
+def _ffn_bwd(interpret, add_residual, residuals, g):
+    x_src, x_msg, w0, w2, n_s, n_b = residuals
+    _, vjp = jax.vjp(
+        lambda a, b, c_, d, e, f_: ffn_xla(
+            a, b, c_, d, norm=(e.reshape(-1), f_.reshape(-1)),
+            add_residual=add_residual,
+        ),
+        x_src, x_msg, w0, w2, n_s, n_b,
+    )
+    return vjp(g)
 
 
 _ffn_ad.defvjp(_ffn_fwd, _ffn_bwd)
 
 
-def ffn_fused(x_src, x_msg, w0, w2, *, interpret=False):
-    """Fused transformer FFN over window-major tokens. x_src/x_msg:
-    (B', L, C); w0: (2C, F); w2: (F, C). Guard with :func:`ffn_eligible`."""
+def ffn_fused(x_src, x_msg, w0, w2, norm_scale, norm_bias, *,
+              add_residual=False, interpret=False):
+    """Fused transformer FFN (+ LayerNorm + optional residual) over
+    window-major tokens. x_src/x_msg: (B', L, C); w0: (2C, F); w2: (F, C);
+    LN scale/bias (C,). Guard with :func:`ffn_eligible`."""
     bp, length, c = x_src.shape
     if x_msg.shape != x_src.shape or x_msg.dtype != x_src.dtype:
         raise ValueError("x_src/x_msg must match in shape and dtype")
@@ -517,7 +588,10 @@ def ffn_fused(x_src, x_msg, w0, w2, *, interpret=False):
         raise ValueError(
             f"weight shapes {w0.shape}/{w2.shape} inconsistent with C={c}"
         )
-    return _ffn_ad(interpret, x_src, x_msg, w0, w2)
+    return _ffn_ad(
+        interpret, add_residual, x_src, x_msg, w0, w2,
+        norm_scale.reshape(1, c), norm_bias.reshape(1, c),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -133,50 +133,58 @@ class TestKernelParity:
 
 
 class TestSublayerKernel:
-    """Whole-sublayer kernel (q/kv projections + attention + merge)."""
+    """Whole-sublayer kernel (q/kv projections + attention + merge +
+    LayerNorm [+ residual])."""
 
     def _weights(self, rng, c):
         mk = lambda shape: jnp.asarray(
             (rng.normal(size=shape) / np.sqrt(shape[0])).astype(np.float32)
         )
-        return mk((c, c)), mk((c, 2 * c)), mk((c, c))
+        ns = jnp.asarray((1 + 0.1 * rng.normal(size=c)).astype(np.float32))
+        nb = jnp.asarray((0.1 * rng.normal(size=c)).astype(np.float32))
+        return mk((c, c)), mk((c, 2 * c)), mk((c, c)), ns, nb
 
     @pytest.mark.parametrize("self_attn", [True, False])
-    def test_parity_unshifted(self, rng, self_attn):
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_parity_unshifted(self, rng, self_attn, residual):
         bp, length, c = 8, 24, 32
         xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
         xt = xs if self_attn else jnp.asarray(
             rng.normal(size=(bp, length, c)).astype(np.float32)
         )
-        wq, wkv, wm = self._weights(rng, c)
-        out = window_sublayer_fused(xs, xt, wq, wkv, wm, interpret=True)
-        ref = window_sublayer_xla(xs, xt, wq, wkv, wm)
+        wq, wkv, wm, ns, nb = self._weights(rng, c)
+        out = window_sublayer_fused(xs, xt, wq, wkv, wm, ns, nb,
+                                    add_residual=residual, interpret=True)
+        ref = window_sublayer_xla(xs, xt, wq, wkv, wm, norm=(ns, nb),
+                                  add_residual=residual)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-6, atol=1e-5)
 
     @pytest.mark.parametrize("k,hs,ws,imgs", [(2, 4, 6, 1), (2, 5, 7, 2)])
     def test_parity_shifted_geometry(self, rng, k, hs, ws, imgs):
         bp, length, c = imgs * k * k, hs * ws, 32
         xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
         xt = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
-        wq, wkv, wm = self._weights(rng, c)
+        wq, wkv, wm, ns, nb = self._weights(rng, c)
         out = window_sublayer_fused(
-            xs, xt, wq, wkv, wm, shift_windows=(k, hs, ws), interpret=True
+            xs, xt, wq, wkv, wm, ns, nb, shift_windows=(k, hs, ws),
+            interpret=True
         )
         mask = jnp.asarray(shift_window_mask(k * hs, k * ws, k))
-        ref = window_sublayer_xla(xs, xt, wq, wkv, wm, mask)
+        ref = window_sublayer_xla(xs, xt, wq, wkv, wm, mask, norm=(ns, nb))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-6, atol=1e-5)
 
     def test_bf16(self, rng):
         bp, length, c = 4, 16, 32
         xs = jnp.asarray(
             rng.normal(size=(bp, length, c)).astype(np.float32)
         ).astype(jnp.bfloat16)
-        wq, wkv, wm = (w.astype(jnp.bfloat16)
-                       for w in self._weights(rng, c))
-        out = window_sublayer_fused(xs, xs, wq, wkv, wm, interpret=True)
-        ref = window_sublayer_xla(xs, xs, wq, wkv, wm)
+        wq, wkv, wm, ns, nb = self._weights(rng, c)
+        wq, wkv, wm = (w.astype(jnp.bfloat16) for w in (wq, wkv, wm))
+        out = window_sublayer_fused(xs, xs, wq, wkv, wm, ns, nb,
+                                    interpret=True)
+        ref = window_sublayer_xla(xs, xs, wq, wkv, wm, norm=(ns, nb))
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=4e-2, atol=4e-2,
@@ -185,38 +193,49 @@ class TestSublayerKernel:
     def test_grad_matches_xla(self, rng):
         bp, length, c = 4, 12, 32
         xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(np.float32))
-        wq, wkv, wm = self._weights(rng, c)
+        wq, wkv, wm, ns, nb = self._weights(rng, c)
         k_geom = (2, 3, 4)
 
-        def loss_fused(xs, wq, wkv, wm):
+        def loss_fused(xs, wq, wkv, wm, ns, nb):
             # self-attention: same tensor twice — AD must sum cotangents
             return window_sublayer_fused(
-                xs, xs, wq, wkv, wm, shift_windows=k_geom, interpret=True
+                xs, xs, wq, wkv, wm, ns, nb, shift_windows=k_geom,
+                add_residual=True, interpret=True
             ).sum()
 
         mask = jnp.asarray(shift_window_mask(2 * 3, 2 * 4, 2))
 
-        def loss_ref(xs, wq, wkv, wm):
-            return window_sublayer_xla(xs, xs, wq, wkv, wm, mask).sum()
+        def loss_ref(xs, wq, wkv, wm, ns, nb):
+            return window_sublayer_xla(
+                xs, xs, wq, wkv, wm, mask, norm=(ns, nb), add_residual=True
+            ).sum()
 
-        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xs, wq, wkv, wm)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xs, wq, wkv, wm)
+        gf = jax.grad(loss_fused, argnums=tuple(range(6)))(
+            xs, wq, wkv, wm, ns, nb
+        )
+        gr = jax.grad(loss_ref, argnums=tuple(range(6)))(
+            xs, wq, wkv, wm, ns, nb
+        )
         for a, b in zip(gf, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(a).reshape(-1), np.asarray(b).reshape(-1),
+                rtol=1e-5, atol=1e-5,
+            )
 
     def test_shape_validation(self, rng):
         xs = jnp.zeros((4, 8, 32), jnp.float32)
+        ns = jnp.ones((32,), jnp.float32)
         with pytest.raises(ValueError, match="weight shapes"):
             window_sublayer_fused(
                 xs, xs, jnp.zeros((32, 32)), jnp.zeros((32, 32)),
-                jnp.zeros((32, 32)), interpret=True
+                jnp.zeros((32, 32)), ns, ns, interpret=True
             )
 
 
 class TestFFNKernel:
-    """Fused exact-gelu FFN kernel — the (L, ffn_dim) intermediate stays
-    in VMEM; the split first dot must equal the concatenated one."""
+    """Fused exact-gelu FFN kernel (+ LayerNorm + residual) — the
+    (L, ffn_dim) intermediate stays in VMEM; the split first dot must
+    equal the concatenated one."""
 
     def _setup(self, rng, bp=6, length=16, c=32, f=64, dtype=np.float32):
         mk = lambda shape: jnp.asarray(
@@ -224,40 +243,50 @@ class TestFFNKernel:
         )
         xs = jnp.asarray(rng.normal(size=(bp, length, c)).astype(dtype))
         xm = jnp.asarray(rng.normal(size=(bp, length, c)).astype(dtype))
-        return xs, xm, mk((2 * c, f)), mk((f, c))
+        ns = jnp.asarray((1 + 0.1 * rng.normal(size=c)).astype(np.float32))
+        nb = jnp.asarray((0.1 * rng.normal(size=c)).astype(np.float32))
+        return xs, xm, mk((2 * c, f)), mk((f, c)), ns, nb
 
-    def test_parity_f32(self, rng):
-        xs, xm, w0, w2 = self._setup(rng)
-        out = ffn_fused(xs, xm, w0, w2, interpret=True)
-        ref = ffn_xla(xs, xm, w0, w2)
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_parity_f32(self, rng, residual):
+        xs, xm, w0, w2, ns, nb = self._setup(rng)
+        out = ffn_fused(xs, xm, w0, w2, ns, nb, add_residual=residual,
+                        interpret=True)
+        ref = ffn_xla(xs, xm, w0, w2, norm=(ns, nb), add_residual=residual)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-6, atol=1e-5)
 
     def test_parity_bf16(self, rng):
-        xs, xm, w0, w2 = (
-            x.astype(jnp.bfloat16) for x in self._setup(rng)
-        )
-        out = ffn_fused(xs, xm, w0, w2, interpret=True)
-        ref = ffn_xla(xs, xm, w0, w2)
+        xs, xm, w0, w2, ns, nb = self._setup(rng)
+        xs, xm, w0, w2 = (x.astype(jnp.bfloat16) for x in (xs, xm, w0, w2))
+        out = ffn_fused(xs, xm, w0, w2, ns, nb, interpret=True)
+        ref = ffn_xla(xs, xm, w0, w2, norm=(ns, nb))
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=4e-2, atol=4e-2,
         )
 
     def test_grad_matches_xla(self, rng):
-        xs, xm, w0, w2 = self._setup(rng, bp=4, length=8)
+        xs, xm, w0, w2, ns, nb = self._setup(rng, bp=4, length=8)
 
         def loss_fused(*args):
-            return ffn_fused(*args, interpret=True).sum()
+            return ffn_fused(*args, add_residual=True, interpret=True).sum()
 
-        def loss_ref(*args):
-            return ffn_xla(*args).sum()
+        def loss_ref(xs, xm, w0, w2, ns, nb):
+            return ffn_xla(xs, xm, w0, w2, norm=(ns, nb),
+                           add_residual=True).sum()
 
-        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xs, xm, w0, w2)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xs, xm, w0, w2)
+        gf = jax.grad(loss_fused, argnums=tuple(range(6)))(
+            xs, xm, w0, w2, ns, nb
+        )
+        gr = jax.grad(loss_ref, argnums=tuple(range(6)))(
+            xs, xm, w0, w2, ns, nb
+        )
         for a, b in zip(gf, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(a).reshape(-1), np.asarray(b).reshape(-1),
+                rtol=1e-5, atol=1e-5,
+            )
 
     def test_eligibility(self):
         # train scale1 and fullres scale1 both fit; absurd ffn_dim does not
@@ -266,9 +295,9 @@ class TestFFNKernel:
         assert not ffn_eligible((8, 4096, 128), jnp.float32, 65536)
 
     def test_shape_validation(self, rng):
-        xs, xm, w0, w2 = self._setup(rng)
+        xs, xm, w0, w2, ns, nb = self._setup(rng)
         with pytest.raises(ValueError, match="inconsistent"):
-            ffn_fused(xs, xm, w0[:10], w2, interpret=True)
+            ffn_fused(xs, xm, w0[:10], w2, ns, nb, interpret=True)
 
 
 class TestRouting:
