@@ -82,7 +82,15 @@ def main(argv=None):
         model_cfg = cfg.get("model", {}) or {}
         class_path = model_cfg.get("class_path")
         init_args = dict(model_cfg.get("init_args", {}))
+        # --model.X without a config file (no class_path) lands FLAT in the
+        # model section rather than under init_args — fold those in so
+        # command-line model knobs reach the module either way.
+        flat_args = {
+            k: v for k, v in model_cfg.items()
+            if k not in ("class_path", "init_args")
+        }
         if args.method is None:
+            init_args.update(flat_args)
             if class_path in (None, "classical"):
                 args.method = init_args.pop("func_spec", None) or (
                     "monge_kantorovitch"
@@ -90,10 +98,13 @@ def main(argv=None):
             else:
                 args.method = class_path
         elif args.method != class_path:
-            # --method overrides the config's model: its init_args are
-            # constructor kwargs for a DIFFERENT class and must not leak
-            # into the requested module.
-            init_args = {}
+            # --method overrides the config's model: the config's
+            # init_args are constructor kwargs for a DIFFERENT class and
+            # must not leak into the requested module; flat command-line
+            # model args still apply.
+            init_args = flat_args
+        else:
+            init_args.update(flat_args)
         deep = args.method in ("dcmcs3di", "dmsct")
         return run_predict(args, init_args if deep else None)
 

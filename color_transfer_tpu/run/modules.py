@@ -295,6 +295,7 @@ class DMSCTModule:
         matcher_corr_dtype="float32",
         matcher_compute_dtype=None,
         corrector_compute_dtype=None,
+        matcher_fused_attention=False,
     ):
         from color_transfer_tpu.models.dmsct import DMSCT
 
@@ -308,6 +309,7 @@ class DMSCTModule:
             matcher_corr_dtype=matcher_corr_dtype,
             matcher_compute_dtype=matcher_compute_dtype,
             corrector_compute_dtype=corrector_compute_dtype,
+            matcher_fused_attention=matcher_fused_attention,
         )
         self.learning_rate = learning_rate
         self.eta_min = eta_min
@@ -320,6 +322,7 @@ class DMSCTModule:
             "decoder_channels": list(decoder_channels),
             "learning_rate": learning_rate,
             "corrector_compute_dtype": corrector_compute_dtype,
+            "matcher_fused_attention": matcher_fused_attention,
         }
 
     def make_optimizer(self, num_train_steps=None):

@@ -34,6 +34,37 @@ def test_collect_pairs_prefers_distorted_target(tmp_path):
         assert str(rel).startswith("scene1")
 
 
+def test_predict_model_overrides_reach_module(tmp_path):
+    # Flat --model.X overrides (no config file) must reach the deep
+    # module's constructor: an unknown kwarg must raise, not be silently
+    # dropped (regression: predict discarded all model args whenever
+    # --method was given).
+    import pytest
+
+    root = _pair_dir(tmp_path, n=1)
+    argv = [
+        "predict", "--method", "dcmcs3di",
+        "--model.no_such_knob", "1",
+        "--input_dir", str(root), "--output_dir", str(tmp_path / "out"),
+    ]
+    with pytest.raises(TypeError, match="no_such_knob"):
+        main(argv)
+
+
+def test_predict_deep_with_model_overrides(tmp_path):
+    # A valid override (tiny model) runs end-to-end.
+    root = _pair_dir(tmp_path, n=1)
+    out_dir = tmp_path / "out"
+    rc = main([
+        "predict", "--method", "dcmcs3di",
+        "--model.extraction_layers", "1", "--model.transfer_layers", "1",
+        "--model.channels", "8", "--model.heavy_metrics", "false",
+        "--input_dir", str(root), "--output_dir", str(out_dir),
+    ])
+    assert rc == 0
+    assert len(sorted(out_dir.glob("**/*_C.png"))) == 1
+
+
 def test_predict_directory_classical(tmp_path, capsys):
     root = _pair_dir(tmp_path)
     out_dir = tmp_path / "out"
