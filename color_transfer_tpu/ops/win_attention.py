@@ -29,6 +29,15 @@ import functools
 import math
 from functools import lru_cache
 
+# Abramowitz & Stegun 7.1.26 erf coefficients (max abs error 1.5e-7):
+# this Pallas TPU toolchain has no erf/erfc lowering, so the in-kernel
+# exact-gelu path (reference transformer.py:31 uses torch's erf gelu)
+# evaluates erf with this f32 minimax form instead. The approximation is
+# used in BOTH compiled and interpret modes so the canary tests compare
+# like against like; the custom-VJP backward stays on XLA's exact gelu.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
 import numpy as np
 
 import jax
@@ -469,6 +478,24 @@ def ffn_xla(x_src, x_msg, w0, w2, norm=None, add_residual=False):
     return y
 
 
+def _gelu_exact_kernel(x):
+    """Exact (erf) gelu for Pallas TPU kernels, evaluated in f32.
+
+    gelu(x) = 0.5 x (1 + erf(x/sqrt(2))) with erf from A&S 7.1.26
+    (|err| <= 1.5e-7, i.e. gelu error <= ~2e-7 over the non-saturated
+    range — below the fused-kernel test tolerances vs XLA's erfc gelu).
+    """
+    xf = x.astype(jnp.float32)
+    z = xf * np.float32(1.0 / math.sqrt(2.0))
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(_ERF_P) * az)
+    a1, a2, a3, a4, a5 = (np.float32(a) for a in _ERF_A)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.where(z < 0.0, -erf_abs, erf_abs)
+    return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
+
+
 def _ffn_working_set(wb, length, c, itemsize, ffn_dim):
     return (
         2 * 3 * wb * length * c * itemsize  # double-buffered src/msg/out
@@ -518,7 +545,7 @@ def _kernel_ffn(xs_ref, xm_ref, w0_ref, w2_ref, ns_ref, nb_ref, o_ref, *,
         xmj = xm_ref[j]
         dtype = xsj.dtype
         y = (_dot(xsj, w0_ref[:c]) + _dot(xmj, w0_ref[c:])).astype(dtype)
-        y = jax.nn.gelu(y, approximate=False)
+        y = _gelu_exact_kernel(y)
         y = _dot(y, w2_ref[...]).astype(dtype).astype(jnp.float32)
         y = _ln_epilogue(y, ns_ref, nb_ref).astype(dtype)
         if add_residual:

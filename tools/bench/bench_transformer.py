@@ -53,8 +53,11 @@ def bench(shape, splits, variant, iters=8, dtype=None):
 
     out = fwd(params, f0, f1)
     float(out.mean())
-    # chain iterations through a data dependency
-    acc = f0
+    # warm the chained signature too: under dtype=bf16 the output dtype
+    # differs from f0's, and feeding it back would otherwise recompile
+    # INSIDE the timed loop (the round-3 "bf16 is 60x slower" artifact)
+    acc = fwd(params, out, f1)
+    float(acc.mean())
     start = time.perf_counter()
     for _ in range(iters):
         acc = fwd(params, acc, f1)
