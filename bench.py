@@ -79,13 +79,14 @@ def bench_dcmcs3di(iters=4, compute_dtype=None):
     return 1.0 / ((time.perf_counter() - start) / iters)
 
 
-def bench_dmsct(iters=6, recipe=False, fused_attention=False):
+def bench_dmsct(iters=6, recipe=False, fused_attention="auto"):
     """DMSCT 1080p inference (matcher capped at 512x896 per the reference's
     resolution policy, corrector at full res). recipe=True measures the
     parity-gated throughput settings (configs/dmsct.yaml: bf16 matcher
-    correlation/compute) plus the opt-in bf16 corrector; fused_attention
-    additionally routes eligible matcher window attention through the
-    fused Pallas kernel (ops/win_attention.py)."""
+    correlation/compute) plus the opt-in bf16 corrector. fused_attention
+    follows the model's dtype-aware "auto" default (fused Pallas window
+    attention exactly when the matcher compute dtype is bf16 — PERF.md);
+    pass False/True to attribute the kernels' contribution."""
     from color_transfer_tpu.models.dmsct import DMSCT
 
     kwargs = (
@@ -97,8 +98,7 @@ def bench_dmsct(iters=6, recipe=False, fused_attention=False):
         if recipe
         else {}
     )
-    if fused_attention:
-        kwargs["matcher_fused_attention"] = True
+    kwargs["matcher_fused_attention"] = fused_attention
     model = DMSCT(**kwargs)
     t = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
     r = jnp.clip(t * 0.95 + 0.01, 0, 1)
@@ -381,14 +381,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dmsct bf16 recipe failed: {e}", file=sys.stderr)
     try:
-        fps = results["dmsct_fused_attn"] = bench_dmsct(fused_attention=True)
+        fps = results["dmsct_bf16_nofuse"] = bench_dmsct(
+            recipe=True, fused_attention=False
+        )
         print(
-            f"[bench] dmsct full-res fused win-attention: {fps:.2f} "
+            f"[bench] dmsct full-res bf16 recipe w/o fused kernels: {fps:.2f} "
             "1080p frames/sec",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"[bench] dmsct fused win-attention failed: {e}", file=sys.stderr)
+        print(f"[bench] dmsct bf16 w/o fused failed: {e}", file=sys.stderr)
 
     headline = results.get("monge_kantorovitch", 0.0)
     print(

@@ -54,7 +54,7 @@ class DMSCT(nn.Module):
     corrector_compute_dtype: str = None
     # Fused Pallas windowed attention inside the matcher transformer
     # (models/gmflow.py::UniMatchFlow.fused_attention).
-    matcher_fused_attention: bool = False
+    matcher_fused_attention: object = "auto"
 
     def setup(self):
         self.matcher = GMFlow(

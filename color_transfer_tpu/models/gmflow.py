@@ -260,11 +260,18 @@ class TransformerLayer(nn.Module):
     no_ffn: bool = False
     ffn_dim_expansion: int = 4
     dtype: jnp.dtype = None
-    # Route eligible windowed attention through the fused Pallas kernel
-    # (ops/win_attention.py): False, True (TPU only; silently falls back to
-    # XLA on other backends), or "interpret" (tests). Off by default until
-    # measured on TPU.
-    fused_attention: bool = False
+    # Route eligible windowed attention through the fused Pallas kernels
+    # (ops/win_attention.py): "auto" (default — fuse exactly when the
+    # compute dtype is bfloat16), False, True (TPU only; silently falls
+    # back to XLA on other backends), or "interpret" (tests).
+    #
+    # Why dtype-aware (measured v5e A/B, PERF.md round-3): in-kernel f32
+    # dots need Precision.HIGHEST (6 MXU passes) while XLA lowers default
+    # "f32" matmuls to one-pass bf16, so the fused f32 path loses (294.6 vs
+    # 224.1 ms at the scale1 train shape); bf16 operands are exact in one
+    # pass and the fused path wins big (155.8 vs 197.5 ms; 16.5 vs 28.9 at
+    # scale0).
+    fused_attention: object = "auto"
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
@@ -330,10 +337,12 @@ class TransformerLayer(nn.Module):
         # VMEM-resident — one read of the token tensors and one write of
         # the merged message instead of four HBM passes.
         fused = self.fused_attention
-        if fused is True and jax.default_backend() != "tpu":
-            fused = False  # Mosaic kernels need the TPU backend
         q_shape = (*source.shape[:-1], self.d_model)
         q_dtype = source.dtype if self.dtype is None else self.dtype
+        if fused == "auto":
+            fused = jnp.dtype(q_dtype) == jnp.bfloat16
+        if fused is True and jax.default_backend() != "tpu":
+            fused = False  # Mosaic kernels need the TPU backend
         sublayer_fused = (
             windowed
             and fused
@@ -463,7 +472,7 @@ class TransformerBlock(nn.Module):
     d_model: int = 128
     ffn_dim_expansion: int = 4
     dtype: jnp.dtype = None
-    fused_attention: bool = False
+    fused_attention: object = "auto"  # see TransformerLayer.fused_attention
 
     @nn.compact
     def __call__(self, source, target, h, w, with_shift, attn_num_splits,
@@ -507,7 +516,7 @@ class FeatureTransformer(nn.Module):
     # False forces the layout-naive per-layer split/merge path (same params,
     # same outputs) — kept for A/B benching and equivalence tests.
     window_major: bool = True
-    fused_attention: bool = False
+    fused_attention: object = "auto"  # see TransformerLayer.fused_attention
 
     @nn.compact
     def __call__(self, feature0, feature1, attn_num_splits, attn_type="swin"):
@@ -1016,7 +1025,7 @@ class UniMatchFlow(nn.Module):
     compute_dtype: jnp.dtype = None
     # Fused Pallas windowed attention (ops/win_attention.py); off until
     # measured on TPU — numerics are kernel-parity-tested either way.
-    fused_attention: bool = False
+    fused_attention: object = "auto"  # see TransformerLayer.fused_attention
 
     def setup(self):
         self.backbone = CNNEncoder(
@@ -1138,7 +1147,7 @@ class GMFlow(nn.Module):
     num_reg_refine: int = 6
     corr_dtype: jnp.dtype = jnp.float32  # see UniMatchFlow.corr_dtype
     compute_dtype: jnp.dtype = None  # see UniMatchFlow.compute_dtype
-    fused_attention: bool = False  # see UniMatchFlow.fused_attention
+    fused_attention: object = "auto"  # see UniMatchFlow.fused_attention
 
     def setup(self):
         self.core = UniMatchFlow(

@@ -295,7 +295,7 @@ class DMSCTModule:
         matcher_corr_dtype="float32",
         matcher_compute_dtype=None,
         corrector_compute_dtype=None,
-        matcher_fused_attention=False,
+        matcher_fused_attention="auto",
     ):
         from color_transfer_tpu.models.dmsct import DMSCT
 

@@ -347,6 +347,30 @@ class TestRouting:
         assert "pallas_call" in jaxpr_fused
         assert "pallas_call" not in jaxpr_base
 
+    def test_auto_default_follows_dtype(self, rng, monkeypatch):
+        # Default fused_attention="auto": fused kernels route in exactly
+        # when the compute dtype is bfloat16 (PERF.md round-3 A/B — the
+        # f32 kernels need 6-pass HIGHEST dots and lose to XLA's one-pass
+        # lowering, bf16 is exact in one pass and wins). Trace with the
+        # backend spoofed to "tpu" so the auto resolution is what routes.
+        import color_transfer_tpu.models.gmflow as gmflow_mod
+        from color_transfer_tpu.models.gmflow import FeatureTransformer
+
+        f0 = jnp.asarray(rng.normal(size=(2, 8, 16, 32)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(2, 8, 16, 32)).astype(np.float32))
+        f32_model = FeatureTransformer(num_layers=1, d_model=32)
+        bf16_model = FeatureTransformer(num_layers=1, d_model=32,
+                                        dtype=jnp.bfloat16)
+        variables = f32_model.init(jax.random.PRNGKey(0), f0, f1, 2)
+        monkeypatch.setattr(gmflow_mod.jax, "default_backend",
+                            lambda: "tpu")
+        jaxpr_f32 = str(jax.make_jaxpr(
+            lambda v, a, b: f32_model.apply(v, a, b, 2))(variables, f0, f1))
+        jaxpr_bf16 = str(jax.make_jaxpr(
+            lambda v, a, b: bf16_model.apply(v, a, b, 2))(variables, f0, f1))
+        assert "pallas_call" not in jaxpr_f32
+        assert "pallas_call" in jaxpr_bf16
+
     def test_fused_true_off_tpu_falls_back(self, rng):
         # On the CPU test backend, fused_attention=True must silently take
         # the XLA path (no Mosaic compile attempted) and match exactly.

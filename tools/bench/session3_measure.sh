@@ -4,6 +4,7 @@
 # Usage: bash tools/bench/session3_measure.sh 2>&1 | tee /tmp/measure_r3.log
 set -x
 cd "$(dirname "$0")/../.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 # 0. Tunnel sanity (fails fast if the chip is unreachable).
 timeout 120 python -c "import jax; print(jax.devices())" || exit 1
