@@ -6,11 +6,17 @@ BASELINE.md), measured on the attached TPU chip. The BASELINE.json
 north-star is >=300 fps on a v5e-8 slice, i.e. 37.5 frames/sec/chip —
 ``vs_baseline`` is the ratio against that per-chip share.
 
-Secondary benches (other methods, deep models as they land) print to stderr.
+The headline JSON is printed to stdout IMMEDIATELY after the MK
+measurement; every other section (secondary methods, deep models, the
+kernel-integrity canaries, the predict-CLI smoke) streams to stderr under
+a wall-clock budget guard (``BENCH_BUDGET_SECONDS``, default 900) so the
+driver's external timeout can never swallow the headline again (round 3
+lost its official number to an rc=124 kill — VERDICT.md Weak #1).
 """
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -313,85 +319,62 @@ def check_win_attention_kernel_integrity():
     )
 
 
-def main():
-    results = {}
-    try:
-        check_idt_kernel_integrity()
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] IDT KERNEL INTEGRITY FAILURE: {e}", file=sys.stderr)
-    try:
-        check_local_corr_kernel_integrity()
-    except Exception as e:  # noqa: BLE001
-        print(
-            f"[bench] LOCAL-CORR KERNEL INTEGRITY FAILURE: {e}",
-            file=sys.stderr,
-        )
-    try:
-        check_win_attention_kernel_integrity()
-    except Exception as e:  # noqa: BLE001
-        print(
-            f"[bench] WIN-ATTENTION KERNEL INTEGRITY FAILURE: {e}",
-            file=sys.stderr,
-        )
-    for name in ["monge_kantorovitch", "reinhard", "correlated_color_space"]:
-        try:
-            results[name] = bench_classical(name)
-            print(f"[bench] {name}: {results[name]:.1f} 1080p frames/sec", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] {name} failed: {e}", file=sys.stderr)
-    for name, batch in [("idt", 4), ("automated_color_grading", 4)]:
-        try:
-            results[name] = bench_classical(name, batch=batch, iters=5)
-            print(
-                f"[bench] {name}: {results[name]:.1f} 1080p frames/sec",
-                file=sys.stderr,
-            )
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] {name} failed: {e}", file=sys.stderr)
-    try:
-        results["dcmcs3di"] = bench_dcmcs3di()
-        print(
-            f"[bench] dcmcs3di full-res: {results['dcmcs3di']:.2f} 1080p frames/sec",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] dcmcs3di failed: {e}", file=sys.stderr)
-    try:
-        fps = results["dcmcs3di_bf16"] = bench_dcmcs3di(compute_dtype="bfloat16")
-        print(
-            f"[bench] dcmcs3di full-res bf16 recipe: {fps:.2f} 1080p frames/sec",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] dcmcs3di bf16 failed: {e}", file=sys.stderr)
-    try:
-        results["dmsct"] = bench_dmsct()
-        print(
-            f"[bench] dmsct full-res: {results['dmsct']:.2f} 1080p frames/sec",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] dmsct failed: {e}", file=sys.stderr)
-    try:
-        fps = results["dmsct_bf16_recipe"] = bench_dmsct(recipe=True)
-        print(
-            f"[bench] dmsct full-res bf16 recipe: {fps:.2f} 1080p frames/sec",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] dmsct bf16 recipe failed: {e}", file=sys.stderr)
-    try:
-        fps = results["dmsct_bf16_nofuse"] = bench_dmsct(
-            recipe=True, fused_attention=False
-        )
-        print(
-            f"[bench] dmsct full-res bf16 recipe w/o fused kernels: {fps:.2f} "
-            "1080p frames/sec",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] dmsct bf16 w/o fused failed: {e}", file=sys.stderr)
+def check_predict_smoke():
+    """One 1080p pair through the real ``predict`` CLI surface with a
+    random-init DMSCT — covers the serving path (run/predict.py +
+    methods/video.py sharded batching) on hardware, not only the CPU test
+    suite. Reference analogue: demo.ipynb cells 24-26 (inference surface)."""
+    import tempfile
 
+    from PIL import Image
+
+    from color_transfer_tpu.run.cli import main as cli_main
+
+    rng = np.random.default_rng(3)
+    with tempfile.TemporaryDirectory() as d:
+        for tag in ("L", "R"):
+            img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(f"{d}/0001_{tag}.png")
+        cli_main(
+            [
+                "predict",
+                "--method",
+                "dmsct",
+                "--target",
+                f"{d}/0001_L.png",
+                "--reference",
+                f"{d}/0001_R.png",
+                "--output",
+                f"{d}/out.png",
+            ]
+        )
+        out = np.asarray(Image.open(f"{d}/out.png"))
+        assert out.shape == (H, W, 3), out.shape
+    print("[bench] predict CLI smoke (dmsct, 1080p, random init): ok", file=sys.stderr)
+
+
+def main():
+    t0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "900"))
+
+    def remaining():
+        return budget - (time.monotonic() - t0)
+
+    results = {}
+
+    # ------------------------------------------------------------------
+    # Headline FIRST (VERDICT r3 Weak #1): measure MK, print the JSON,
+    # flush — an external kill after this point cannot lose the record.
+    # ------------------------------------------------------------------
+    try:
+        results["monge_kantorovitch"] = bench_classical("monge_kantorovitch")
+        print(
+            f"[bench] monge_kantorovitch: "
+            f"{results['monge_kantorovitch']:.1f} 1080p frames/sec",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] monge_kantorovitch failed: {e}", file=sys.stderr)
     headline = results.get("monge_kantorovitch", 0.0)
     print(
         json.dumps(
@@ -401,7 +384,97 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(headline / BASELINE_PER_CHIP_FPS, 3),
             }
-        )
+        ),
+        flush=True,
+    )
+
+    # ------------------------------------------------------------------
+    # Secondary sections, each gated on the remaining wall-clock budget.
+    # ``est`` is a conservative per-section cost (compile + timed iters,
+    # tunnel compiles are minutes-slow); a section only starts if it can
+    # plausibly finish, otherwise it and everything after it are skipped
+    # with an explicit note.
+    # ------------------------------------------------------------------
+    def classical(name, batch=8, iters=16):
+        def run():
+            results[name] = bench_classical(name, batch=batch, iters=iters)
+            print(
+                f"[bench] {name}: {results[name]:.1f} 1080p frames/sec",
+                file=sys.stderr,
+            )
+
+        return run
+
+    def deep(key, label, thunk):
+        def run():
+            fps = results[key] = thunk()
+            print(f"[bench] {label}: {fps:.2f} 1080p frames/sec", file=sys.stderr)
+
+        return run
+
+    sections = [
+        ("reinhard", 45, classical("reinhard")),
+        ("correlated_color_space", 45, classical("correlated_color_space")),
+        ("idt", 60, classical("idt", batch=4, iters=5)),
+        (
+            "automated_color_grading",
+            90,
+            classical("automated_color_grading", batch=4, iters=5),
+        ),
+        ("dcmcs3di", 150, deep("dcmcs3di", "dcmcs3di full-res", bench_dcmcs3di)),
+        (
+            "dcmcs3di bf16 recipe",
+            150,
+            deep(
+                "dcmcs3di_bf16",
+                "dcmcs3di full-res bf16 recipe",
+                lambda: bench_dcmcs3di(compute_dtype="bfloat16"),
+            ),
+        ),
+        ("dmsct", 150, deep("dmsct", "dmsct full-res", bench_dmsct)),
+        (
+            "dmsct bf16 recipe",
+            150,
+            deep(
+                "dmsct_bf16_recipe",
+                "dmsct full-res bf16 recipe",
+                lambda: bench_dmsct(recipe=True),
+            ),
+        ),
+        (
+            "dmsct bf16 recipe w/o fused kernels",
+            150,
+            deep(
+                "dmsct_bf16_nofuse",
+                "dmsct full-res bf16 recipe w/o fused kernels",
+                lambda: bench_dmsct(recipe=True, fused_attention=False),
+            ),
+        ),
+        ("idt kernel integrity", 60, check_idt_kernel_integrity),
+        ("local-corr kernel integrity", 120, check_local_corr_kernel_integrity),
+        (
+            "win-attention kernel integrity",
+            180,
+            check_win_attention_kernel_integrity,
+        ),
+        ("predict CLI smoke", 150, check_predict_smoke),
+    ]
+    for name, est, thunk in sections:
+        if remaining() < est:
+            print(
+                f"[bench] BUDGET GUARD: {remaining():.0f}s left < {est}s "
+                f"estimate — skipping '{name}' and later sections",
+                file=sys.stderr,
+            )
+            break
+        try:
+            thunk()
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+    print(
+        f"[bench] done in {time.monotonic() - t0:.0f}s "
+        f"(budget {budget:.0f}s)",
+        file=sys.stderr,
     )
 
 

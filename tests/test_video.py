@@ -36,6 +36,48 @@ class TestVideoTransfer:
             np.testing.assert_allclose(out[i], out[0], atol=1e-6)
 
 
+class TestShardedDispatch:
+    def test_sharded_clip_issues_one_program(self, rng, monkeypatch):
+        """A 16-frame clip at batch_size 8 over the 8-device mesh must trace
+        the per-frame method ONCE (one vmapped program reused across chunks,
+        its frame axis sharded over 'data') — never a per-frame Python loop
+        with per-frame host syncs. Guards the scaling claim in PERF.md's
+        multi-chip serving section (VERDICT r3 item #4)."""
+        from color_transfer_tpu import methods as m
+        from color_transfer_tpu.methods import video
+
+        traces = {"n": 0}
+        real = m.get_method("monge_kantorovitch")
+
+        def counting(t, r):
+            traces["n"] += 1  # Python body runs at trace time only
+            return real(t, r)
+
+        monkeypatch.setattr(video.methods, "get_method", lambda name: counting)
+
+        shardings = []
+        orig_shard = video.shard_batch
+
+        def capturing_shard(tree, mesh):
+            out = orig_shard(tree, mesh)
+            shardings.append(out["t"].sharding)
+            return out
+
+        monkeypatch.setattr(video, "shard_batch", capturing_shard)
+
+        t = rng.uniform(0.2, 0.8, (16, 16, 24, 3)).astype(np.float32)
+        r = np.clip(t * 0.9 + 0.05, 0, 1).astype(np.float32)
+        out = np.asarray(video.color_transfer_between_videos(t, r, batch_size=8))
+        assert out.shape == t.shape
+        assert traces["n"] == 1, (
+            f"method traced {traces['n']} times for 16 frames — the clip "
+            "must run as one reusable batched program"
+        )
+        assert len(shardings) == 2  # two chunks of 8
+        for s in shardings:
+            assert s.spec[0] == "data", s
+
+
 class TestDeepVideoServing:
     def test_dmsct_clip_sharded_matches_eval_forward(self, rng):
         """A (T,H,W,3) clip through method='dmsct' sharded over 'data' must
