@@ -137,8 +137,9 @@ _APPLY_MB = 32  # sublane rows per kernel block; >=64 miscompiles (Mosaic)
 def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
     """Fused per-axis table interpolation (the IDT transport apply step).
 
-    x: (3, mb, 128) f32 projections; g: (3, 2, 16, 16) f32 — the transfer
-    tables [F | Fnext]; scal: (3, 4) SMEM [grid_lo, step, right_edge, _].
+    x: (3, mb, 128) f32 projections; g: (3, 4, 16, 16) bf16 — the transfer
+    tables as hi/lo bf16 splits [F_hi | F_lo | Fnext_hi | Fnext_lo];
+    scal: (3, 4) SMEM [grid_lo, step, right_edge, _].
 
     Layout is the whole trick: TPU has no per-lane gather and Mosaic can't
     reshape (mb, 128) -> (mb*128, 1), so the 16-way one-hots put their
@@ -149,12 +150,22 @@ def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
     the XLA einsum formulation round-trips ~2 GB/iteration of one-hots
     through HBM (10.6 ms vs 5.5 ms measured, batch-4 1080p).
 
-    The one-pass MXU dot computes in bf16, which would cost ~0.5 of a bin
-    at 255-bin tables; Precision.HIGHEST makes the f32 contraction exact
-    in-kernel. (Measured: HIGHEST here is ~6.5x FASTER than the earlier
-    bf16 hi/lo table-split workaround — the split's two dots plus the
-    extra epilogue dominated, and in-kernel the 16x16 table dot is far
-    from MXU-bound either way.)
+    Precision story (round-4 re-measurement, tools/bench/ab_apply6_r4.py):
+    the table values are f32, so a single one-pass bf16 dot costs ~0.5 of a
+    bin. The round-3 fix (ONE dot at Precision.HIGHEST, exact) turned out
+    ~10x slower than the split in the REAL vmapped context (112 vs 11 ms
+    per batch-4 apply; the earlier "6.5x faster in-kernel" reading came
+    from unvmapped isolated runs whose Mosaic schedule inverts the
+    ordering). The production choice is the two-term bf16 split with bf16
+    dot operands: F = F_hi + F_lo with F_hi = bf16(F); the selection error
+    is bounded by the bf16 re-rounding of F_lo, i.e. 2^-18 * |F| — at most
+    ~1e-3 of a bin (4e-6 in pixel units), 100x below 8-bit output
+    quantization. Full-method: 79 fps vs 60 (HIGHEST) vs 64-68 (exact
+    3-term split) at batch-4 1080p. CAUTION: the split MUST be built with
+    ``lax.reduce_precision`` — this backend's XLA elides f32->bf16->f32
+    cast round-trips under jit, which silently zeroes a cast-based F_lo
+    (this bug shipped in rounds 1-2: the "split" kernel actually ran with
+    F_lo == 0 and a 0.5-bin error).
     """
     mb = x_ref.shape[1]
     hgrid = lax.broadcasted_iota(jnp.int32, (16, mb, _LANES), 0)
@@ -170,18 +181,20 @@ def _apply_kernel(scal_ref, x_ref, g_ref, out_ref):
         hi = i // 16
         lo = i - hi * 16
         P = (hi[None, :, :] == hgrid).astype(jnp.float32)  # (16, mb, 128)
-        Q = (lo[None, :, :] == hgrid).astype(jnp.float32)
+        Q = (lo[None, :, :] == hgrid).astype(jnp.bfloat16)
 
-        def table_select(F):
-            s = jax.lax.dot_general(
-                F, Q, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
-            return jnp.sum(P * s, axis=0)  # (mb, 128)
+        def table_select(F_hi, F_lo):
+            def dot(F):
+                # bf16 x bf16 one-pass: exact for one-hot Q and bf16 F.
+                return jax.lax.dot_general(
+                    F, Q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-        v0 = table_select(g_ref[a, 0])
-        v1 = table_select(g_ref[a, 1])
+            return jnp.sum(P * (dot(F_hi) + dot(F_lo)), axis=0)  # (mb, 128)
+
+        v0 = table_select(g_ref[a, 0], g_ref[a, 1])
+        v1 = table_select(g_ref[a, 2], g_ref[a, 3])
         val = v0 * (1.0 - frac) + v1 * frac
         val = jnp.where(x < grid_lo, 0.0, val)
         val = jnp.where(x > right_edge, float(n), val)
@@ -192,7 +205,8 @@ def _apply_tables_pallas(d0, grid_lo, step, fp, right_edge, interpret=False):
     """Pallas path of the transport apply: d0 (3, N) -> transported (3, N).
 
     fp: (3, bins) f32 transfer tables. Pads N to the kernel block, packs
-    the tables as 16x16 grids, and launches ``_apply_kernel``."""
+    the tables as hi/lo bf16-split 16x16 grids, and launches
+    ``_apply_kernel``."""
     _, n_pix = d0.shape
     bins = fp.shape[1]
     blk = _APPLY_MB * _LANES
@@ -206,7 +220,16 @@ def _apply_tables_pallas(d0, grid_lo, step, fp, right_edge, interpret=False):
     def grid16(t):
         return jnp.pad(t, ((0, 0), (0, pad_t))).reshape(3, 16, 16)
 
-    g = jnp.stack([grid16(fp), grid16(fp_next)], axis=1)  # (3, 2, 16, 16)
+    def split(t):
+        t = grid16(t)
+        # reduce_precision, NOT astype: XLA elides cast round-trips (see
+        # _apply_kernel docstring), which would zero the lo term.
+        t_hi = lax.reduce_precision(t, exponent_bits=8, mantissa_bits=7)
+        return t_hi, t - t_hi
+
+    g = jnp.stack([*split(fp), *split(fp_next)], axis=1).astype(
+        jnp.bfloat16
+    )  # (3, 4, 16, 16)
 
     scal = jnp.stack(
         [grid_lo, step, right_edge, jnp.zeros_like(step)], axis=1

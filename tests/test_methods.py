@@ -273,8 +273,10 @@ class TestMKOracle:
 class TestPallasApplyKernel:
     def test_matches_xla_interp_path(self, rng):
         """The fused Pallas transport-apply (interpret mode) matches the
-        XLA einsum path near-exactly (both contract the f32 tables at
-        Precision.HIGHEST; only the frac arithmetic orders differ)."""
+        exact XLA einsum path within the hi/lo bf16 table-split bound:
+        the selection error is the bf16 re-rounding of the lo term,
+        <= 2^-18 * |table| ~= 1e-3 of a bin at 255-bin tables (see the
+        _apply_kernel docstring for the round-4 precision/speed story)."""
         from color_transfer_tpu.methods import iterative as it
 
         d0 = jnp.asarray(
@@ -296,8 +298,10 @@ class TestPallasApplyKernel:
             d0, grid_lo, step, fp, left=0.0, right=255.0,
             right_edge=right_edge,
         )
+        # atol 2e-3 both admits the documented split bound AND catches the
+        # XLA cast-elision degeneration (whose error is ~0.5 bin, 250x it).
         np.testing.assert_allclose(
-            np.asarray(out_pallas), np.asarray(out_xla), atol=1e-4
+            np.asarray(out_pallas), np.asarray(out_xla), atol=2e-3
         )
 
 
