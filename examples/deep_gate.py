@@ -39,6 +39,7 @@ from color_transfer_tpu.data import distortions
 def build_model(name, recipe):
     bf16 = "bf16" in recipe
     fused = "fused" in recipe
+    nofuse = "nofuse" in recipe
     if name == "dmsct":
         from color_transfer_tpu.models.dmsct import DMSCT
 
@@ -51,6 +52,10 @@ def build_model(name, recipe):
             )
         if fused:
             kwargs["matcher_fused_attention"] = True
+        if nofuse:
+            # bf16-nofuse isolates the dtype recipe from the fused kernels
+            # ("auto" would otherwise route bf16 through them).
+            kwargs["matcher_fused_attention"] = False
         model = DMSCT(**kwargs)
         fwd = jax.jit(lambda p, t, r: model.apply(p, t, r))
         return model, fwd
