@@ -1,8 +1,12 @@
 """Round-4 deep-serving roofline: stage-level measured ms + XLA-counted
-FLOPs/bytes at 1080p batch 1, plus device-ceiling micro-measurements
-(big matmul / representative conv) to anchor speed-of-light claims.
+FLOPs/bytes at 1080p batch 1, plus device-ceiling micro-measurements.
 
-Writes the numbers PERF.md's "Roofline" section quotes (VERDICT r3 #3).
+SUPERSEDED for stage attribution by prof_roofline2_r4.py: standalone
+sub-stage jits measure pathologically through the tunnel (the DCMCS3DI
+transfer net, <=320 ms inside the full program, measured 14 s standalone;
+the fused row-attention matcher 59 ms in-program, 5.3 s standalone).
+Full-forward rows and the XLA cost-analysis FLOP/byte counts from this
+script remain valid and are quoted in PERF.md.
 
 Usage: python tools/bench/prof_roofline_r4.py [dcmcs3di|dmsct|ceiling|all]
 """
@@ -20,17 +24,27 @@ H, W = 1080, 1920
 
 
 def chain_ms(f, *args, iters=6):
-    """Chained timing: feeds a scalar data dependency back into arg 0."""
-    out = f(*args)
-    lead = jnp.asarray(jax.tree_util.tree_leaves(out)[0])
-    float(lead.ravel()[0])
+    """Chained timing: ONE jitted step per iteration that runs f and folds
+    a scalar of its output back into arg 0 (same shape/dtype), so
+    iterations serialize through a data dependency with zero eager ops —
+    under the remote tunnel every eager op is a slow dispatch and would
+    dominate (first version of this harness measured a 3x3 conv at 88 ms
+    because of exactly that)."""
+
+    def step(x, *rest):
+        out = f(x, *rest)
+        lead = jax.tree_util.tree_leaves(out)[0]
+        return x + (1e-12 * lead.ravel()[0]).astype(x.dtype)
+
+    step = jax.jit(step)
+    sync = jax.jit(lambda x: jnp.ravel(x)[0])
+    x = step(*args)  # compile + warm
+    float(sync(x))
     t0 = time.perf_counter()
     x = args[0]
     for _ in range(iters):
-        out = f(x, *args[1:])
-        lead = jnp.asarray(jax.tree_util.tree_leaves(out)[0])
-        x = args[0] + 1e-12 * lead.ravel()[0].astype(args[0].dtype)
-    float(lead.ravel()[0])
+        x = step(x, *args[1:])
+    float(sync(x))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
