@@ -20,6 +20,8 @@ orbax checkpoint saved by this framework's Trainer) or prebuilt
 sharded over the 'data' axis.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,26 @@ from color_transfer_tpu import methods
 from color_transfer_tpu.parallel import create_mesh, shard_batch
 
 DEEP_METHODS = ("dcmcs3di", "dmsct")
+
+
+@functools.lru_cache(maxsize=None)
+def _classical_mapped(method, per_frame):
+    """Jitted batched classical method, cached across API calls.
+
+    jax.jit keys its executable cache on the wrapped callable's identity, so
+    building the lambda inside ``color_transfer_between_videos`` recompiled
+    the full-resolution program on EVERY call (measured 0.006 dispatch
+    efficiency at 1080p through the serving path). The cache makes repeat
+    calls hit the compiled executable. Global (per_frame=False) mode takes
+    the fixed reference frame as an argument (in_axes=None) instead of a
+    closure so it shares the cache too.
+    """
+    fn = methods.get_method(method)
+    if per_frame:
+        return jax.jit(jax.vmap(lambda t, r: jnp.clip(fn(t, r), 0.0, 1.0)))
+    return jax.jit(
+        jax.vmap(lambda t, r0: jnp.clip(fn(t, r0), 0.0, 1.0), in_axes=(0, None))
+    )
 
 
 def _build_deep(method, ckpt_path, module, variables, module_kwargs, sample):
@@ -94,16 +116,11 @@ def color_transfer_between_videos(
 
         variables = jax.device_put(variables, replicated_sharding(mesh))
     else:
-        fn = methods.get_method(method)
+        mapped = _classical_mapped(method, per_frame)
         if not per_frame:
             # Temporally stable mode: statistics come from the FIXED
             # reference frame 0, applied to every target frame.
             r0 = jnp.asarray(reference_frames[0])
-            mapped = jax.jit(jax.vmap(lambda t: jnp.clip(fn(t, r0), 0.0, 1.0)))
-        else:
-            mapped = jax.jit(
-                jax.vmap(lambda t, r: jnp.clip(fn(t, r), 0.0, 1.0))
-            )
 
     t_total = target_frames.shape[0]
     outputs = []
@@ -123,6 +140,6 @@ def color_transfer_between_videos(
         elif per_frame:
             out = mapped(sharded["t"], sharded["r"])
         else:
-            out = mapped(sharded["t"])
+            out = mapped(sharded["t"], r0)
         outputs.append(out[:actual])
     return jnp.concatenate(outputs, axis=0)
