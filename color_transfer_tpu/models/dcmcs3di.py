@@ -39,6 +39,44 @@ class Extractor(nn.Module):
             x = block(self.channels, dtype=self.dtype, name=f"ResB_{i}")(x)
         return x
 
+    def fused(self, x, group=3, rows=128, interpret=False):
+        """Inference extraction through the fused conv-chain kernel
+        (ops/conv_chain.py): stem conv in XLA, then the whole ResB stack
+        halo-tiled through VMEM. Same param tree as ``__call__`` — reads
+        the already-initialized variables, so only valid on a bound,
+        initialized module (serving/eval), never under ``init``.
+        Returns float32 features."""
+        from color_transfer_tpu.ops.conv_chain import resb_chain
+
+        p = self.variables["params"]
+        cd = self.dtype or jnp.float32
+        stem = p["Conv_0"]["Conv_0"]
+        y = jax.lax.conv_general_dilated(
+            x.astype(cd), stem["kernel"].astype(cd), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + stem["bias"].astype(cd)
+        kernels = jnp.stack([
+            jnp.stack([
+                p[f"ResB_{i}"][f"Conv_{j}"]["Conv_0"]["kernel"]
+                for j in (0, 1)
+            ])
+            for i in range(self.layers)
+        ])
+        biases = jnp.stack([
+            jnp.stack([
+                p[f"ResB_{i}"][f"Conv_{j}"]["Conv_0"]["bias"]
+                for j in (0, 1)
+            ])
+            for i in range(self.layers)
+        ])
+        g = min(group, self.layers)
+        while self.layers % g:
+            g -= 1
+        return resb_chain(
+            y, kernels, biases, group=g, rows=rows, compute_dtype=cd,
+            interpret=interpret,
+        )
+
 
 class TransferNet(nn.Module):
     """Conv1x1(2C+1 -> C) + N ResB + Conv(C->C/2) + Conv(C/2->3)
@@ -57,6 +95,44 @@ class TransferNet(nn.Module):
             x = block(self.channels, dtype=self.dtype, name=f"ResB_{i}")(x)
         x = Conv(self.channels // 2, dtype=self.dtype)(x)
         return Conv(3, dtype=self.dtype)(x)
+
+    def fused(self, x, group=3, rows=128, interpret=False):
+        """Inference path through the fused conv-chain kernel: 1x1 stem and
+        the two tail convs in XLA, the ResB stack halo-tiled through VMEM
+        (see Extractor.fused)."""
+        from color_transfer_tpu.ops.conv_chain import resb_chain
+
+        p = self.variables["params"]
+        cd = self.dtype or jnp.float32
+
+        def conv(v, tree):
+            return jax.lax.conv_general_dilated(
+                v.astype(cd), tree["Conv_0"]["kernel"].astype(cd), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + tree["Conv_0"]["bias"].astype(cd)
+
+        y = conv(x, p["Conv_0"])
+        kernels = jnp.stack([
+            jnp.stack([
+                p[f"ResB_{i}"][f"Conv_{j}"]["Conv_0"]["kernel"]
+                for j in (0, 1)
+            ])
+            for i in range(self.layers)
+        ])
+        biases = jnp.stack([
+            jnp.stack([
+                p[f"ResB_{i}"][f"Conv_{j}"]["Conv_0"]["bias"]
+                for j in (0, 1)
+            ])
+            for i in range(self.layers)
+        ])
+        g = min(group, self.layers)
+        while self.layers % g:
+            g -= 1
+        y = resb_chain(y, kernels, biases, group=g, rows=rows,
+                       compute_dtype=cd, interpret=interpret)
+        y = conv(y, p["Conv_1"])
+        return conv(y, p["Conv_2"])
 
 
 class DCMCS3DI(nn.Module):
@@ -93,7 +169,8 @@ class DCMCS3DI(nn.Module):
         return jnp.split(fea.astype(jnp.float32), 2, axis=0)
 
     def __call__(self, left, right, inference=False, use_pallas=False,
-                 pallas_interpret=False, pallas_precise=False, valid_w=None):
+                 pallas_interpret=False, pallas_precise=False, valid_w=None,
+                 fused_extraction=None):
         """left = distorted target view, right = reference view; NHWC [0,1].
 
         Returns (corrected_left, aux) with aux = (att, att_cycle, valid_mask,
@@ -108,11 +185,29 @@ class DCMCS3DI(nn.Module):
         ``valid_w`` (dynamic scalar, bucketed-eval path) masks attention
         columns >= valid_w so zero-padded width never receives attention
         mass (run/bucketing.py).
+
+        ``fused_extraction`` routes the ResB stacks through the conv-chain
+        Pallas kernel (ops/conv_chain.py). None = auto: engage on the
+        Pallas inference path when the bf16 compute recipe is active (the
+        XLA convs are the serving bottleneck there, PERF.md roofline).
         """
+        if fused_extraction is None:
+            fused_extraction = bool(
+                inference and use_pallas
+                and self.compute_dtype is not None
+                and jnp.dtype(self.compute_dtype) == jnp.bfloat16
+            )
         # Shared-weight siamese extraction via batch concat — one conv stack
         # pass for both views (the batch-dim trick the reference uses in its
         # matcher, unimatch/unimatch.py:68).
-        fea_left, fea_right = self._extract(left, right)
+        if inference and fused_extraction:
+            fea = self.extraction.fused(
+                jnp.concatenate([left, right], axis=0),
+                interpret=pallas_interpret,
+            )
+            fea_left, fea_right = jnp.split(fea, 2, axis=0)
+        else:
+            fea_left, fea_right = self._extract(left, right)
 
         if inference and use_pallas:
             from color_transfer_tpu.ops.row_attention import fused_parallax_inference
@@ -131,8 +226,10 @@ class DCMCS3DI(nn.Module):
                 precise=pallas_precise,
             )
             mask = valid_mask_left.astype(fea_left.dtype)
-            corrected = self.transfer(
-                jnp.concatenate([fea_left, warped, mask], axis=-1)
+            cat = jnp.concatenate([fea_left, warped, mask], axis=-1)
+            corrected = (
+                self.transfer.fused(cat, interpret=pallas_interpret)
+                if fused_extraction else self.transfer(cat)
             )
             return jnp.clip(corrected.astype(jnp.float32), 0.0, 1.0), (
                 (None, None),
@@ -152,8 +249,10 @@ class DCMCS3DI(nn.Module):
         fea_warped_right = pasm.warp(self.matcher.value_features(fea_right), att[0])
 
         mask = valid_mask[0].astype(fea_left.dtype)
-        corrected = self.transfer(
-            jnp.concatenate([fea_left, fea_warped_right, mask], axis=-1)
+        cat = jnp.concatenate([fea_left, fea_warped_right, mask], axis=-1)
+        corrected = (
+            self.transfer.fused(cat, interpret=pallas_interpret)
+            if inference and fused_extraction else self.transfer(cat)
         )
 
         return jnp.clip(corrected.astype(jnp.float32), 0.0, 1.0), (

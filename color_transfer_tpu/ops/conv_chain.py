@@ -13,13 +13,15 @@ not a translation):
 * ROW-MAJOR PLANAR strips (rows, C, W): lanes carry image width (1920 ->
   padded 2048 = 16x128), sublanes carry channels, rows lead untiled.
   Channels-last would waste half of every vector register (C=64 < 128).
-* The three dy taps of a 3x3 conv collapse into ONE MXU contraction per
+* All nine taps of a 3x3 conv collapse into ONE MXU contraction per
   output row: slicing rows r-1..r+1 gives (3, C, W) which flattens to a
-  (3C, W) operand for free (row-major layout = stacked sublane tiles), so
-  each row is 3 dots of (C, 3C) @ (3C, W) — K=192, N=2048.
-* The dx taps never shift the inputs: the three per-dx accumulators are
-  lane-rolled AFTER the dot (f32, one row) — out[w] = A-1[w-1] + A0[w] +
-  A+1[w+1] — so no rolled copies of the strip ever exist in VMEM.
+  (3C, W) operand for free (row-major layout = stacked sublane tiles),
+  and the three per-dx (C, 3C) weight matrices stack on M, so each row is
+  one (3C, 3C) @ (3C, W) dot — M=192 (1.5 MXU tiles), K=192, N=2048.
+* The dx taps never shift the inputs: the three per-dx accumulators come
+  out stacked on sublanes and are lane-rolled AFTER the dot (f32, one
+  row) — out[w] = A-1[w-1] + A0[w] + A+1[w+1] — so no rolled copies of
+  the strip ever exist in VMEM.
 * GROUPED fusion: ``group`` ResB blocks per HBM round trip. A strip of
   ``rows`` output rows is DMA'd in with a 2*group-row halo on each side,
   chained through the whole group in VMEM (x <-> y ping-pong scratch),
@@ -53,8 +55,9 @@ def _conv_rows(src_ref, dst_ref, w3, bias, t, valid_cols, *,
                residual_ref, compute_dtype):
     """3x3 'SAME' conv over strip rows [rows_lo, rows_hi) of src_ref.
 
-    src_ref/dst_ref: (r_buf, C, Wp) VMEM. w3: (3dx, C, 3C) with K ordered
-    (dy, cin). bias: (C, 1). Rows outside the image (global row = t*rows +
+    src_ref/dst_ref: (r_buf, C, Wp) VMEM. w3: (3C, 3C) — the three per-dx
+    (C, 3C) weight matrices stacked on M (dx-major), K ordered (dy, cin).
+    bias: (C, 1). Rows outside the image (global row = t*rows +
     r - halo outside [0, height)) and pad lanes are stored as zeros.
     If residual_ref is not None the conv output is added to it row-wise
     (dst_ref == residual_ref is the ResB skip connection).
@@ -64,21 +67,19 @@ def _conv_rows(src_ref, dst_ref, w3, bias, t, valid_cols, *,
 
     def body(r, _):
         win = src_ref[pl.ds(r - 1, 3)].reshape(3 * c, wp)
-        a_m1 = jax.lax.dot_general(
-            w3[0], win, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        a_0 = jax.lax.dot_general(
-            w3[1], win, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        a_p1 = jax.lax.dot_general(
-            w3[2], win, (((1,), (0,)), ((), ())),
+        # One M=3C dot computes all three per-dx accumulators stacked on
+        # sublanes (75% MXU column occupancy vs 50% for three M=C dots;
+        # measured equal at the extraction shape — the row loop is
+        # VMEM-traffic-bound, not MXU-bound — but it is fewer ops).
+        a = jax.lax.dot_general(
+            w3, win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         # out[w] = A-1[w-1] + A0[w] + A+1[w+1]; the wrapped lanes land in
         # (or come from) the zeroed width pad, so wraparound is harmless.
-        acc = pltpu.roll(a_m1, 1, 1) + a_0 + pltpu.roll(a_p1, wp - 1, 1)
+        acc = pltpu.roll(a[:c], 1, 1) + a[c:2 * c] + pltpu.roll(
+            a[2 * c:], wp - 1, 1
+        )
         acc += bias
         if relu:
             acc = jnp.where(acc >= 0, acc, 0.01 * acc)
@@ -91,7 +92,7 @@ def _conv_rows(src_ref, dst_ref, w3, bias, t, valid_cols, *,
         dst_ref[r] = val
         return _
 
-    jax.lax.fori_loop(rows_lo, rows_hi, body, 0, unroll=2)
+    jax.lax.fori_loop(rows_lo, rows_hi, body, 0)
     _ = out_rows_base  # reserved for future partial-strip variants
 
 
@@ -103,7 +104,7 @@ def _group_kernel(x_hbm, w_ref, b_ref, out_hbm, x_vmem, y_vmem, sem_in,
     Grid: (B, n_tiles). x_hbm/out_hbm: (B, Hp, C, Wp) in HBM with
     Hp = n_tiles*rows + 2*halo; buffer row i holds global image row
     i - halo (out-of-image rows may be garbage — re-zeroed in VMEM).
-    w_ref: (group, 2, 3, C, 3C) VMEM; b_ref: (group, 2, C, 1) VMEM.
+    w_ref: (group, 2, 3C, 3C) VMEM; b_ref: (group, 2, C, 1) VMEM.
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -165,7 +166,7 @@ def _group_kernel(x_hbm, w_ref, b_ref, out_hbm, x_vmem, y_vmem, sem_in,
     jax.jit,
     static_argnames=("group", "rows", "compute_dtype", "interpret"),
 )
-def resb_chain(x, kernels, biases, group=3, rows=64,
+def resb_chain(x, kernels, biases, group=3, rows=128,
                compute_dtype=jnp.bfloat16, interpret=False):
     """Chain of ResB blocks (conv3x3 -> LeakyReLU(0.01) -> conv3x3 ->
     +identity) over NHWC input, fused in groups of ``group`` blocks.
@@ -176,7 +177,9 @@ def resb_chain(x, kernels, biases, group=3, rows=64,
         the raw ``ResB_i/Conv_j/Conv_0/kernel`` params stacked.
       biases: (L, 2, C).
       group: ResB blocks fused per HBM round trip (L % group == 0).
-      rows: output rows per strip (VMEM sizing knob).
+      rows: output rows per strip — shrunk automatically until the two
+        (rows + 2*halo, C, Wp) scratch strips fit the 128M VMEM with
+        headroom (the f32 path needs this; measured OOM at rows=128).
       compute_dtype: conv operand dtype (params cast, f32 accumulate) —
         matches the flax ``dtype=`` recipe of models/layers.py::Conv.
 
@@ -189,6 +192,10 @@ def resb_chain(x, kernels, biases, group=3, rows=64,
     halo = 2 * group
     wp = _round_up(w, LANE)
     rows = min(rows, _round_up(h, 8))
+    budget = 96 * 1024 * 1024
+    itemsize_ = np.dtype(compute_dtype).itemsize
+    while rows > 8 and 2 * (rows + 2 * halo) * c * wp * itemsize_ > budget:
+        rows -= 8
     n_tiles = -(-h // rows)
     hp = n_tiles * rows + 2 * halo
 
@@ -198,7 +205,7 @@ def resb_chain(x, kernels, biases, group=3, rows=64,
 
     # (L, 2, kh, kw, cin, cout) -> (L, 2, kw, cout, kh, cin) -> K=(kh, cin).
     wk = jnp.transpose(kernels, (0, 1, 3, 5, 2, 4)).astype(compute_dtype)
-    wk = wk.reshape(n_layers, 2, 3, c, 3 * c)
+    wk = wk.reshape(n_layers, 2, 3 * c, 3 * c)
     bs = biases.astype(jnp.float32)[..., None]  # (L, 2, C, 1)
 
     kern = functools.partial(

@@ -79,3 +79,59 @@ class TestResBChain:
         x, k, bias = _make(rng, layers=3)
         with pytest.raises(ValueError):
             resb_chain(x, k, bias, group=2, interpret=True)
+
+
+class TestModelIntegration:
+    def test_dcmcs3di_fused_extraction_matches_flax(self, rng):
+        """fused_extraction=True on the inference path must reproduce the
+        flax Extractor (same param tree read directly)."""
+        from color_transfer_tpu.models.dcmcs3di import DCMCS3DI
+
+        model = DCMCS3DI(extraction_layers=2, transfer_layers=1, channels=8)
+        left = jnp.asarray(rng.uniform(0, 1, (1, 24, 40, 3)), jnp.float32)
+        right = jnp.clip(left * 0.9 + 0.03, 0, 1)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), left, right)
+
+        want, _ = model.apply(
+            variables, left, right, inference=True, use_pallas=True,
+            pallas_interpret=True, fused_extraction=False,
+        )
+        got, _ = model.apply(
+            variables, left, right, inference=True, use_pallas=True,
+            pallas_interpret=True, fused_extraction=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def test_auto_engages_only_on_bf16_pallas_path(self, rng, monkeypatch):
+        """fused_extraction=None: off for f32 (bit-strict parity path),
+        on for the bf16 recipe under use_pallas."""
+        from color_transfer_tpu.models import dcmcs3di as m
+
+        calls = {"n": 0}
+        import color_transfer_tpu.ops.conv_chain as cc
+
+        real = cc.resb_chain
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **{**k, "interpret": True})
+
+        monkeypatch.setattr(cc, "resb_chain", counting)
+
+        left = jnp.asarray(rng.uniform(0, 1, (1, 16, 24, 3)), jnp.float32)
+        right = jnp.clip(left * 0.9, 0, 1)
+
+        f32 = m.DCMCS3DI(extraction_layers=1, transfer_layers=1, channels=8)
+        v32 = jax.jit(f32.init)(jax.random.PRNGKey(0), left, right)
+        f32.apply(v32, left, right, inference=True, use_pallas=True,
+                  pallas_interpret=True)
+        assert calls["n"] == 0
+
+        bf = m.DCMCS3DI(extraction_layers=1, transfer_layers=1, channels=8,
+                        compute_dtype=jnp.bfloat16)
+        vbf = jax.jit(bf.init)(jax.random.PRNGKey(0), left, right)
+        bf.apply(vbf, left, right, inference=True, use_pallas=True,
+                 pallas_interpret=True)
+        assert calls["n"] == 2  # extraction stack + transfer stack
