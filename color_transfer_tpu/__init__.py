@@ -20,3 +20,11 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA-executable cache (compile_cache.py): tunnel compiles are
+# minutes-slow and the reference pays none (eager torch), so every entry
+# point — bench, CLI, tests, the driver's graft entries — shares one
+# on-disk cache. Opt out with CT_TPU_COMPILATION_CACHE=0.
+from color_transfer_tpu import compile_cache as _compile_cache
+
+_compile_cache.enable()

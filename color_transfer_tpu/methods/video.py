@@ -32,18 +32,19 @@ DEEP_METHODS = ("dcmcs3di", "dmsct")
 
 
 @functools.lru_cache(maxsize=None)
-def _classical_mapped(method, per_frame):
+def _classical_mapped(fn, per_frame):
     """Jitted batched classical method, cached across API calls.
 
     jax.jit keys its executable cache on the wrapped callable's identity, so
     building the lambda inside ``color_transfer_between_videos`` recompiled
     the full-resolution program on EVERY call (measured 0.006 dispatch
     efficiency at 1080p through the serving path). The cache makes repeat
-    calls hit the compiled executable. Global (per_frame=False) mode takes
-    the fixed reference frame as an argument (in_axes=None) instead of a
-    closure so it shares the cache too.
+    calls hit the compiled executable. Keyed on the RESOLVED method callable
+    (not its registry name) so registry mutation/monkeypatching can never
+    serve a stale compiled function (ADVICE r4). Global (per_frame=False)
+    mode takes the fixed reference frame as an argument (in_axes=None)
+    instead of a closure so it shares the cache too.
     """
-    fn = methods.get_method(method)
     if per_frame:
         return jax.jit(jax.vmap(lambda t, r: jnp.clip(fn(t, r), 0.0, 1.0)))
     return jax.jit(
@@ -78,6 +79,7 @@ def color_transfer_between_videos(
     module=None,
     variables=None,
     module_kwargs=None,
+    allow_ungated=False,
 ):
     """Transfer color from reference_frames onto target_frames.
 
@@ -90,6 +92,8 @@ def color_transfer_between_videos(
       per_frame: independent per-frame statistics (classical methods only).
       ckpt_path / module / variables / module_kwargs: deep methods only —
         where the corrector weights come from (see module docstring).
+      allow_ungated: acknowledge serving a recipe whose recorded quality-gate
+        verdict is FAIL (methods/gates.py) — otherwise a loud warning fires.
 
     Returns (T, H, W, 3) corrected frames (device array).
     """
@@ -106,6 +110,9 @@ def color_transfer_between_videos(
             "reference": jnp.asarray(reference_frames[:1]),
             "gt": jnp.asarray(target_frames[:1]),
         }
+        from color_transfer_tpu.methods.gates import check_recipe
+
+        check_recipe(method, module_kwargs, allow_ungated=allow_ungated)
         module, variables = _build_deep(
             method, ckpt_path, module, variables, module_kwargs, sample
         )
@@ -116,7 +123,7 @@ def color_transfer_between_videos(
 
         variables = jax.device_put(variables, replicated_sharding(mesh))
     else:
-        mapped = _classical_mapped(method, per_frame)
+        mapped = _classical_mapped(methods.get_method(method), per_frame)
         if not per_frame:
             # Temporally stable mode: statistics come from the FIXED
             # reference frame 0, applied to every target frame.

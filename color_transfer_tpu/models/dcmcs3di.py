@@ -192,8 +192,13 @@ class DCMCS3DI(nn.Module):
         XLA convs are the serving bottleneck there, PERF.md roofline).
         """
         if fused_extraction is None:
+            # not is_initializing(): the fused path reads already-bound
+            # params directly, so auto-engaging during model.init would
+            # KeyError before any params exist — init always takes the
+            # flax path (ADVICE r4).
             fused_extraction = bool(
                 inference and use_pallas
+                and not self.is_initializing()
                 and self.compute_dtype is not None
                 and jnp.dtype(self.compute_dtype) == jnp.bfloat16
             )

@@ -36,6 +36,7 @@ whose backward XLA already schedules well at crop sizes).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,28 +97,64 @@ def _conv_rows(src_ref, dst_ref, w3, bias, t, valid_cols, *,
     _ = out_rows_base  # reserved for future partial-strip variants
 
 
-def _group_kernel(x_hbm, w_ref, b_ref, out_hbm, x_vmem, y_vmem, sem_in,
-                  sem_out, *, rows, halo, group, height, width,
-                  compute_dtype):
-    """One group of ResB blocks over one row strip of one image.
+def _group_kernel(x_hbm, w_ref, b_ref, out_hbm, x_bufs, y_vmem, sem_in,
+                  sem_out, *, rows, halo, group, height, width, n_tiles,
+                  total, compute_dtype):
+    """One group of ResB blocks over one row strip, double-buffered.
 
-    Grid: (B, n_tiles). x_hbm/out_hbm: (B, Hp, C, Wp) in HBM with
-    Hp = n_tiles*rows + 2*halo; buffer row i holds global image row
+    Grid: (B * n_tiles,) linearized. x_hbm/out_hbm: (B, Hp, C, Wp) in HBM
+    with Hp = n_tiles*rows + 2*halo; buffer row i holds global image row
     i - halo (out-of-image rows may be garbage — re-zeroed in VMEM).
     w_ref: (group, 2, 3C, 3C) VMEM; b_ref: (group, 2, C, 1) VMEM.
+
+    DMA schedule (ADVICE r4: the round-4 kernel issued blocking copies, so
+    strip N+1's HBM fetch never overlapped strip N's compute): x_bufs holds
+    TWO ping-pong input strips. Step ``idx`` computes in slot ``idx % 2``
+    while strip ``idx+1`` streams into the other slot, and the write-back
+    of slot ``s`` is only waited on when step ``idx+2`` wants to refill
+    ``s`` — so both directions of HBM traffic ride under the conv chain.
     """
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+    idx = pl.program_id(0)
+    slot = jax.lax.rem(idx, 2)
     r_buf = rows + 2 * halo
     c = b_ref.shape[2]
-    wp = x_vmem.shape[-1]
+    wp = x_bufs.shape[-1]
 
-    copy_in = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * rows, r_buf)], x_vmem, sem_in
-    )
-    copy_in.start()
-    copy_in.wait()
+    def in_copy(i, s):
+        bb = jax.lax.div(i, n_tiles)
+        tt = jax.lax.rem(i, n_tiles)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tt * rows, r_buf)], x_bufs.at[s],
+            sem_in.at[s],
+        )
 
+    def out_copy(i, s):
+        bb = jax.lax.div(i, n_tiles)
+        tt = jax.lax.rem(i, n_tiles)
+        return pltpu.make_async_copy(
+            x_bufs.at[s, pl.ds(halo, rows)],
+            out_hbm.at[bb, pl.ds(tt * rows + halo, rows)],
+            sem_out.at[s],
+        )
+
+    @pl.when(idx == 0)
+    def _():
+        in_copy(idx, slot).start()
+
+    @pl.when(idx + 1 < total)
+    def _():
+        # Refilling the other slot overwrites the strip whose write-back
+        # (started at step idx-1) may still be in flight — drain it first.
+        @pl.when(idx >= 1)
+        def _():
+            out_copy(idx - 1, 1 - slot).wait()
+
+        in_copy(idx + 1, 1 - slot).start()
+
+    in_copy(idx, slot).wait()
+    x_vmem = x_bufs.at[slot]
+
+    t = jax.lax.rem(idx, n_tiles)
     # Zero out-of-image rows and pad lanes of the input strip: HBM halo
     # rows are uninitialized between group passes, and every conv below
     # assumes zeros outside the image ('SAME' padding semantics).
@@ -153,13 +190,13 @@ def _group_kernel(x_hbm, w_ref, b_ref, out_hbm, x_vmem, y_vmem, sem_in,
         conv(y_vmem, x_vmem, w_ref[g, 1], b_ref[g, 1], relu=False,
              residual_ref=x_vmem)
 
-    copy_out = pltpu.make_async_copy(
-        x_vmem.at[pl.ds(halo, rows)],
-        out_hbm.at[b, pl.ds(t * rows + halo, rows)],
-        sem_out,
-    )
-    copy_out.start()
-    copy_out.wait()
+    out_copy(idx, slot).start()
+
+    @pl.when(idx == total - 1)
+    def _():
+        if total > 1:
+            out_copy(idx - 1, 1 - slot).wait()
+        out_copy(idx, slot).wait()
 
 
 @functools.partial(
@@ -177,9 +214,13 @@ def resb_chain(x, kernels, biases, group=3, rows=128,
         the raw ``ResB_i/Conv_j/Conv_0/kernel`` params stacked.
       biases: (L, 2, C).
       group: ResB blocks fused per HBM round trip (L % group == 0).
-      rows: output rows per strip — shrunk automatically until the two
-        (rows + 2*halo, C, Wp) scratch strips fit the 128M VMEM with
-        headroom (the f32 path needs this; measured OOM at rows=128).
+      rows: output rows per strip — shrunk automatically until the three
+        (rows + 2*halo, C, Wp) scratch strips (2 ping-pong input + 1 work)
+        fit the VMEM budget (the f32 path needs this; measured OOM at
+        rows=128). Budget defaults to 96 MiB of the target v5e/v4 128 MiB
+        VMEM; override with CT_CONV_CHAIN_VMEM_MB on other hardware. If
+        even the minimum 8-row strip cannot fit, raises a clear ValueError
+        instead of a Mosaic compile failure (ADVICE r4).
       compute_dtype: conv operand dtype (params cast, f32 accumulate) —
         matches the flax ``dtype=`` recipe of models/layers.py::Conv.
 
@@ -192,10 +233,24 @@ def resb_chain(x, kernels, biases, group=3, rows=128,
     halo = 2 * group
     wp = _round_up(w, LANE)
     rows = min(rows, _round_up(h, 8))
-    budget = 96 * 1024 * 1024
+    budget = (
+        int(os.environ.get("CT_CONV_CHAIN_VMEM_MB", "96")) * 1024 * 1024
+    )
     itemsize_ = np.dtype(compute_dtype).itemsize
-    while rows > 8 and 2 * (rows + 2 * halo) * c * wp * itemsize_ > budget:
+
+    def strips_bytes(r):
+        return 3 * (r + 2 * halo) * c * wp * itemsize_
+
+    while rows > 8 and strips_bytes(rows) > budget:
         rows -= 8
+    if strips_bytes(rows) > budget:
+        raise ValueError(
+            f"conv-chain strips do not fit VMEM: minimum strip set "
+            f"({strips_bytes(rows) / 2**20:.0f} MiB at rows={rows}, "
+            f"C={c}, Wp={wp}, {np.dtype(compute_dtype).name}) exceeds the "
+            f"{budget / 2**20:.0f} MiB budget — reduce ``group`` (halo "
+            f"shrinks) or set CT_CONV_CHAIN_VMEM_MB for this device"
+        )
     n_tiles = -(-h // rows)
     hp = n_tiles * rows + 2 * halo
 
@@ -215,6 +270,8 @@ def resb_chain(x, kernels, biases, group=3, rows=128,
         group=group,
         height=h,
         width=w,
+        n_tiles=n_tiles,
+        total=b * n_tiles,
         compute_dtype=compute_dtype,
     )
     itemsize = np.dtype(compute_dtype).itemsize
@@ -222,7 +279,7 @@ def resb_chain(x, kernels, biases, group=3, rows=128,
     for gi in range(n_groups):
         xp = pl.pallas_call(
             kern,
-            grid=(b, n_tiles),
+            grid=(b * n_tiles,),
             out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), compute_dtype),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -231,10 +288,10 @@ def resb_chain(x, kernels, biases, group=3, rows=128,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
+                pltpu.VMEM((2, rows + 2 * halo, c, wp), compute_dtype),
                 pltpu.VMEM((rows + 2 * halo, c, wp), compute_dtype),
-                pltpu.VMEM((rows + 2 * halo, c, wp), compute_dtype),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024,

@@ -47,6 +47,9 @@ def _parse(argv):
     parser.add_argument("--batch_size", type=int, default=None,
                         help="frames per device program; default is "
                              "method-aware (run/predict.py)")
+    parser.add_argument("--allow_ungated", action="store_true",
+                        help="acknowledge serving a recipe whose recorded "
+                             "quality-gate verdict is FAIL (methods/gates.py)")
     args, unknown = parser.parse_known_args(argv)
 
     overrides = {}

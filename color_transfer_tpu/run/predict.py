@@ -63,6 +63,7 @@ def predict_pairs(
     module_kwargs=None,
     batch_size=None,
     mesh=None,
+    allow_ungated=False,
 ):
     """Correct (target_path, reference_path, out_rel) triples into output_dir.
 
@@ -103,6 +104,9 @@ def predict_pairs(
     # module instance also keeps eval jit caches warm across groups.
     module = variables = None
     if method in DEEP_METHODS and groups:
+        from color_transfer_tpu.methods.gates import check_recipe
+
+        check_recipe(method, module_kwargs, allow_ungated=allow_ungated)
         import jax.numpy as jnp
 
         t0, r0, _ = next(iter(groups.values()))[0]
@@ -128,6 +132,7 @@ def predict_pairs(
             module=module,
             variables=variables,
             module_kwargs=module_kwargs,
+            allow_ungated=allow_ungated,
         )
         out = np.asarray(out)
         for i, (_, _, rel) in enumerate(items):
@@ -164,6 +169,7 @@ def run_predict(args, model_init_args=None):
             ckpt_path=args.ckpt_path,
             module_kwargs=module_kwargs,
             batch_size=args.batch_size,
+            allow_ungated=getattr(args, "allow_ungated", False),
         )
     else:
         if not (args.input_dir and args.output_dir):
@@ -183,6 +189,7 @@ def run_predict(args, model_init_args=None):
             ckpt_path=args.ckpt_path,
             module_kwargs=module_kwargs,
             batch_size=args.batch_size,
+            allow_ungated=getattr(args, "allow_ungated", False),
         )
     for path in written:
         print(path)
