@@ -55,6 +55,11 @@ class DMSCT(nn.Module):
     # Fused Pallas windowed attention inside the matcher transformer
     # (models/gmflow.py::UniMatchFlow.fused_attention).
     matcher_fused_attention: object = "auto"
+    # Selective precision: "float32" confines matcher bf16 to the
+    # feature-producing stacks and keeps all flow arithmetic (correlation
+    # expectations, self-attn propagation, GRU refinement) f32 — see
+    # UniMatchFlow.refine_dtype. The gate-passing fast recipe.
+    matcher_refine_dtype: str = None
 
     def setup(self):
         self.matcher = GMFlow(
@@ -67,6 +72,11 @@ class DMSCT(nn.Module):
                 else None
             ),
             fused_attention=self.matcher_fused_attention,
+            refine_dtype=(
+                jnp.dtype(self.matcher_refine_dtype).type
+                if self.matcher_refine_dtype
+                else None
+            ),
         )
         corr_dt = (
             jnp.dtype(self.corrector_compute_dtype).type

@@ -1026,6 +1026,18 @@ class UniMatchFlow(nn.Module):
     # Fused Pallas windowed attention (ops/win_attention.py); off until
     # measured on TPU — numerics are kernel-parity-tested either way.
     fused_attention: object = "auto"  # see TransformerLayer.fused_attention
+    # Selective-precision override for everything downstream of the
+    # transformer that touches FLOW VALUES: the correlation softmaxes'
+    # feature inputs, SelfAttnPropagation, and the GRU refinement loop
+    # (incl. its local correlation). Set to jnp.float32 together with
+    # compute_dtype=bf16 to confine bf16 to the feature-PRODUCING stacks
+    # (backbone convs + transformer) — the round-4 gate showed the full
+    # bf16 recipe's drift is the iterative refinement amplifying bf16
+    # rounding of flow arithmetic (PARITY_RESULTS.md round-4), while
+    # feature values are consumed through softmax expectations that are
+    # robust to operand rounding. None = no override (corr_dtype /
+    # compute_dtype apply unchanged).
+    refine_dtype: jnp.dtype = None
 
     def setup(self):
         self.backbone = CNNEncoder(
@@ -1037,7 +1049,9 @@ class UniMatchFlow(nn.Module):
             fused_attention=self.fused_attention,
         )
         self.feature_flow_attn = SelfAttnPropagation(
-            self.feature_channels, dtype=self.compute_dtype
+            self.feature_channels,
+            dtype=(self.refine_dtype if self.refine_dtype is not None
+                   else self.compute_dtype),
         )
         self.refine_proj = nn.Conv(256, (1, 1), name="refine_proj")
         self.refine = BasicUpdateBlock(self.upsample_factor, 2)
@@ -1099,6 +1113,15 @@ class UniMatchFlow(nn.Module):
                 feature0, feature1, attn_splits, self.feature_channels
             )
             feature0, feature1 = self.transformer(feature0, feature1, attn_splits)
+            if self.refine_dtype is not None:
+                # Selective recipe: flow-value arithmetic (correlation
+                # softmax expectations, self-attn propagation, GRU loop)
+                # runs in refine_dtype even when the transformer computed
+                # the feature VALUES in bf16.
+                feature0 = feature0.astype(self.refine_dtype)
+                feature1 = feature1.astype(self.refine_dtype)
+                feature0_ori = feature0_ori.astype(self.refine_dtype)
+                feature1_ori = feature1_ori.astype(self.refine_dtype)
 
             if corr_radius == -1:
                 flow_pred = global_correlation_softmax(
@@ -1124,7 +1147,9 @@ class UniMatchFlow(nn.Module):
                     flow = jax.lax.stop_gradient(flow)
                     correlation = local_correlation_with_flow(
                         feature0_ori, feature1_ori, flow, local_radius=4,
-                        corr_dtype=self.corr_dtype,
+                        corr_dtype=(self.refine_dtype
+                                    if self.refine_dtype is not None
+                                    else self.corr_dtype),
                     )
                     proj = self.refine_proj(feature0)
                     net, inp = jnp.split(proj, 2, axis=-1)
@@ -1148,6 +1173,7 @@ class GMFlow(nn.Module):
     corr_dtype: jnp.dtype = jnp.float32  # see UniMatchFlow.corr_dtype
     compute_dtype: jnp.dtype = None  # see UniMatchFlow.compute_dtype
     fused_attention: object = "auto"  # see UniMatchFlow.fused_attention
+    refine_dtype: jnp.dtype = None  # see UniMatchFlow.refine_dtype
 
     def setup(self):
         self.core = UniMatchFlow(
@@ -1155,6 +1181,7 @@ class GMFlow(nn.Module):
             corr_dtype=self.corr_dtype,
             compute_dtype=self.compute_dtype,
             fused_attention=self.fused_attention,
+            refine_dtype=self.refine_dtype,
         )
 
     def __call__(self, img0, img1, pred_bidir_flow=True,

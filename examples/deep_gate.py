@@ -44,12 +44,26 @@ def build_model(name, recipe):
         from color_transfer_tpu.models.dmsct import DMSCT
 
         kwargs = {}
-        if bf16:
+        if recipe.startswith("bf16c"):
+            # Corrector-only bf16: matcher stays bit-strict f32.
+            kwargs.update(corrector_compute_dtype="bfloat16")
+        elif recipe.startswith("bf16m"):
+            # Matcher-only bf16: isolates the matcher's drift contribution.
+            kwargs.update(
+                matcher_corr_dtype="bfloat16",
+                matcher_compute_dtype="bfloat16",
+            )
+        elif bf16:
             kwargs.update(
                 matcher_corr_dtype="bfloat16",
                 matcher_compute_dtype="bfloat16",
                 corrector_compute_dtype="bfloat16",
             )
+        if "refine32" in recipe:
+            # Selective recipe: flow arithmetic (correlation expectations,
+            # self-attn propagation, GRU loop incl. local corr) pinned f32;
+            # bf16 stays confined to backbone/transformer/corrector.
+            kwargs["matcher_refine_dtype"] = "float32"
         if fused:
             kwargs["matcher_fused_attention"] = True
         if nofuse:

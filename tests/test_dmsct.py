@@ -93,11 +93,11 @@ class TestCorrectorMixedPrecision:
         bf16 = DMSCT(**kwargs, corrector_compute_dtype="bfloat16")
         t, r = self._pair(rng)
         keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-        variables = f32.init(keys, t, r)
+        variables = jax.jit(f32.init)(keys, t, r)
         # Param tree is dtype-independent (params stay f32): the bf16 model
         # applies the SAME variables.
-        out_a = np.asarray(f32.apply(variables, t, r))
-        out_b = np.asarray(bf16.apply(variables, t, r))
+        out_a = np.asarray(jax.jit(f32.apply)(variables, t, r))
+        out_b = np.asarray(jax.jit(bf16.apply)(variables, t, r))
         assert out_b.dtype == np.float32
         assert np.isfinite(out_b).all()
         # [0,1] image output through a shallow random-init corrector should
@@ -111,10 +111,10 @@ class TestCorrectorMixedPrecision:
         b = DMSCT(**kwargs, corrector_compute_dtype=None)
         t, r = self._pair(rng)
         keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-        variables = a.init(keys, t, r)
+        variables = jax.jit(a.init)(keys, t, r)
         np.testing.assert_array_equal(
-            np.asarray(a.apply(variables, t, r)),
-            np.asarray(b.apply(variables, t, r)),
+            np.asarray(jax.jit(a.apply)(variables, t, r)),
+            np.asarray(jax.jit(b.apply)(variables, t, r)),
         )
 
     def test_bf16_train_step_updates_and_keeps_f32_params(self, rng):

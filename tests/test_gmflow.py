@@ -155,6 +155,35 @@ class TestComputeDtype:
         scale = np.abs(flow_a).mean() + 1e-3
         assert np.abs(flow_a - flow_b).mean() / scale < 0.35
 
+    def test_refine32_tracks_f32_closer_than_full_bf16(self, rng):
+        """The selective recipe (refine_dtype=f32: bf16 confined to the
+        backbone/transformer, all flow arithmetic — correlation expectation,
+        self-attn propagation, GRU loop incl. local corr — pinned f32) must
+        engage (differ from full-bf16) and track the f32 flow at least as
+        closely as the full-bf16 recipe on the same weights."""
+        from color_transfer_tpu.models.gmflow import GMFlow
+
+        kwargs = dict(num_transformer_layers=1, num_reg_refine=2,
+                      inference_size=(32, 32))
+        f32 = GMFlow(**kwargs)
+        full = GMFlow(**kwargs, compute_dtype=jnp.bfloat16,
+                      corr_dtype=jnp.bfloat16)
+        sel = GMFlow(**kwargs, compute_dtype=jnp.bfloat16,
+                     corr_dtype=jnp.bfloat16, refine_dtype=jnp.float32)
+        img0 = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        variables = jax.jit(f32.init)(jax.random.PRNGKey(0), img0, img1)
+
+        flow_f32 = np.asarray(jax.jit(f32.apply)(variables, img0, img1)["flow"])
+        flow_full = np.asarray(jax.jit(full.apply)(variables, img0, img1)["flow"])
+        flow_sel = np.asarray(jax.jit(sel.apply)(variables, img0, img1)["flow"])
+        assert flow_sel.dtype == np.float32
+        assert np.isfinite(flow_sel).all()
+        assert not np.array_equal(flow_sel, flow_full)  # the knob engages
+        err_sel = np.abs(flow_sel - flow_f32).mean()
+        err_full = np.abs(flow_full - flow_f32).mean()
+        assert err_sel <= err_full * 1.05, (err_sel, err_full)
+
     def test_f32_default_unchanged_by_dtype_plumbing(self, rng):
         """compute_dtype=None must be the exact f32 path (parity tests and
         checkpoint ports rely on it)."""
