@@ -88,22 +88,32 @@ def bench_dcmcs3di(iters=4, compute_dtype=None):
 def bench_dmsct(iters=6, recipe=False, fused_attention="auto"):
     """DMSCT 1080p inference (matcher capped at 512x896 per the reference's
     resolution policy, corrector at full res). recipe=True measures the
-    parity-gated throughput settings (configs/dmsct.yaml: bf16 matcher
-    correlation/compute) plus the opt-in bf16 corrector. fused_attention
-    follows the model's dtype-aware "auto" default (fused Pallas window
-    attention exactly when the matcher compute dtype is bf16 — PERF.md);
-    pass False/True to attribute the kernels' contribution."""
+    full-bf16 throughput settings (bf16 matcher correlation/compute + bf16
+    corrector); recipe="refine32" measures the SELECTIVE recipe (bf16
+    confined to backbone/transformer/corrector, flow arithmetic pinned f32
+    — the gate-passing fast configuration, configs/dmsct.yaml).
+    fused_attention follows the model's dtype-aware "auto" default (fused
+    Pallas window attention exactly when the matcher compute dtype is bf16
+    — PERF.md); pass False/True to attribute the kernels' contribution."""
     from color_transfer_tpu.models.dmsct import DMSCT
 
-    kwargs = (
-        dict(
+    if recipe == "bf16c":
+        # Corrector-only bf16 — the gate-PASSING fast recipe (the matcher
+        # stays bit-strict f32: round-5 gates showed ANY matcher bf16 —
+        # even confined to feature values with flow arithmetic pinned f32
+        # — saturates to the same 0.11 dB drift through the chaotic GRU
+        # amplification; PARITY_RESULTS.md round-5).
+        kwargs = dict(corrector_compute_dtype="bfloat16")
+    elif recipe:
+        kwargs = dict(
             matcher_corr_dtype="bfloat16",
             matcher_compute_dtype="bfloat16",
             corrector_compute_dtype="bfloat16",
         )
-        if recipe
-        else {}
-    )
+        if recipe == "refine32":
+            kwargs["matcher_refine_dtype"] = "float32"
+    else:
+        kwargs = {}
     kwargs["matcher_fused_attention"] = fused_attention
     model = DMSCT(**kwargs)
     t = jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
@@ -412,65 +422,80 @@ def main():
 
         return run
 
+    # ``est`` values are calibrated from a WARM-CACHE run (round 5,
+    # 2026-08-21: full 14-section warm pass = 752 s total) times a ~1.5x
+    # safety margin — the persistent compilation cache
+    # (color_transfer_tpu/compile_cache.py, enabled at import) makes every
+    # driver run after the first warm, so estimates sized for cold tunnel
+    # compiles would starve the tail sections (round-4 lost 13 of 14
+    # sections that way). A cold cache still cannot lose the headline —
+    # it is printed before any section runs.
     sections = [
         ("reinhard", 45, classical("reinhard")),
         ("correlated_color_space", 45, classical("correlated_color_space")),
-        ("idt", 60, classical("idt", batch=4, iters=5)),
+        ("idt", 55, classical("idt", batch=4, iters=5)),
         (
             "automated_color_grading",
-            90,
+            75,
             classical("automated_color_grading", batch=4, iters=5),
         ),
-        ("dcmcs3di", 150, deep("dcmcs3di", "dcmcs3di full-res", bench_dcmcs3di)),
+        ("dcmcs3di", 90, deep("dcmcs3di", "dcmcs3di full-res", bench_dcmcs3di)),
         (
             "dcmcs3di bf16 recipe",
-            150,
+            75,
             deep(
                 "dcmcs3di_bf16",
                 "dcmcs3di full-res bf16 recipe",
                 lambda: bench_dcmcs3di(compute_dtype="bfloat16"),
             ),
         ),
-        ("dmsct", 150, deep("dmsct", "dmsct full-res", bench_dmsct)),
+        ("dmsct", 90, deep("dmsct", "dmsct full-res", bench_dmsct)),
         (
             "dmsct bf16 recipe",
-            150,
+            75,
             deep(
                 "dmsct_bf16_recipe",
                 "dmsct full-res bf16 recipe",
                 lambda: bench_dmsct(recipe=True),
             ),
         ),
+        ("idt kernel integrity", 30, check_idt_kernel_integrity),
+        ("local-corr kernel integrity", 45, check_local_corr_kernel_integrity),
+        (
+            "win-attention kernel integrity",
+            60,
+            check_win_attention_kernel_integrity,
+        ),
+        ("predict CLI smoke", 90, check_predict_smoke),
+        # Diagnostic A/B, least valuable for the record — last on purpose.
         (
             "dmsct bf16 recipe w/o fused kernels",
-            150,
+            75,
             deep(
                 "dmsct_bf16_nofuse",
                 "dmsct full-res bf16 recipe w/o fused kernels",
                 lambda: bench_dmsct(recipe=True, fused_attention=False),
             ),
         ),
-        ("idt kernel integrity", 60, check_idt_kernel_integrity),
-        ("local-corr kernel integrity", 120, check_local_corr_kernel_integrity),
-        (
-            "win-attention kernel integrity",
-            180,
-            check_win_attention_kernel_integrity,
-        ),
-        ("predict CLI smoke", 150, check_predict_smoke),
     ]
     for name, est, thunk in sections:
         if remaining() < est:
             print(
                 f"[bench] BUDGET GUARD: {remaining():.0f}s left < {est}s "
-                f"estimate — skipping '{name}' and later sections",
+                f"estimate — skipping '{name}'",
                 file=sys.stderr,
             )
-            break
+            continue
+        sec_t0 = time.monotonic()
         try:
             thunk()
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {name} failed: {e}", file=sys.stderr)
+        print(
+            f"[bench] -- section '{name}' took {time.monotonic() - sec_t0:.0f}s"
+            f" ({remaining():.0f}s budget left)",
+            file=sys.stderr,
+        )
     print(
         f"[bench] done in {time.monotonic() - t0:.0f}s "
         f"(budget {budget:.0f}s)",

@@ -57,9 +57,16 @@ def resize_bilinear(x, out_hw, align_corners=False):
 
 def resize_nearest(x, out_hw):
     """Nearest resize of the two trailing axes, torch 'nearest' parity
-    (src index = floor(dst * in/out))."""
+    (src index = floor(dst * in/out)).
+
+    Exact integer downscale factors take a strided slice instead of two
+    axis gathers — bit-identical (floor(dst*in/out) == dst*f when
+    in == out*f) and descriptor-free on TPU (DMSCT's occlusion pyramid
+    rides this: the x16-padded dims divide exactly)."""
     out_h, out_w = out_hw
     in_h, in_w = x.shape[-2], x.shape[-1]
+    if in_h % out_h == 0 and in_w % out_w == 0:
+        return x[..., :: in_h // out_h, :: in_w // out_w]
     iy = jnp.minimum((jnp.arange(out_h) * in_h) // out_h, in_h - 1).astype(jnp.int32)
     ix = jnp.minimum((jnp.arange(out_w) * in_w) // out_w, in_w - 1).astype(jnp.int32)
     x = jnp.take(x, iy, axis=x.ndim - 2)

@@ -55,17 +55,21 @@ def recipe_verdict(method, module_kwargs):
             return (
                 "fail",
                 "dmsct recipes with a bf16 MATCHER fail the drift gate "
-                "(full-bf16: worst dPSNR +0.110 dB / dSSIM 1.5e-2 — the "
-                "frozen matcher's GRU refinement amplifies bf16 feature "
-                "rounding into O(0.1 px) flow differences, "
-                "PARITY_RESULTS.md round-4). Leave the matcher f32 and use "
-                "corrector_compute_dtype='bfloat16' instead",
+                "(worst dPSNR +0.110 dB / dSSIM 1.5e-2). The round-5 "
+                "refine32 experiment (flow arithmetic pinned f32, bf16 only "
+                "in the feature stacks) drifts IDENTICALLY: any upstream "
+                "rounding is amplified by the iterative refinement to the "
+                "same saturated scale, so no selective matcher recipe "
+                "passes at random init (PARITY_RESULTS.md round-5). Keep "
+                "the matcher f32",
             )
         if corrector_bf16:
             return (
-                "unrecorded",
-                "dmsct corrector-only bf16 recipe (matcher f32): no gate "
-                "run recorded yet",
+                "fail",
+                "dmsct corrector-only bf16 (matcher f32) is a measured "
+                "NEAR-miss: worst dPSNR +0.0001 dB, diCID 1.8e-5, pair "
+                "PSNR 67.5 dB, but worst dSSIM -8.7e-4 exceeds the 5e-4 "
+                "line at random init (PARITY_RESULTS.md round-5)",
             )
         return ("pass", "bit-strict f32 default")
     return ("unrecorded", f"no gate record for method {method!r}")

@@ -72,7 +72,7 @@ def color_transfer_between_videos(
     target_frames,
     reference_frames,
     method="monge_kantorovitch",
-    batch_size=8,
+    batch_size=None,
     mesh=None,
     per_frame=True,
     ckpt_path=None,
@@ -86,6 +86,11 @@ def color_transfer_between_videos(
     Args:
       target_frames / reference_frames: (T, H, W, 3) float arrays in [0, 1]
         (numpy or jax; processed in device batches of ``batch_size``).
+        batch_size=None picks the measured-best default: one frame per
+        chip for the deep methods (1080p batch-2-per-chip is 18% SLOWER
+        than batch 1 — the degenerate batch-2 conv schedule, PERF.md
+        round-5 sweep), 8 frames per chip for the classical methods
+        (dispatch amortization at 1-5 ms/frame).
       method: registry name (see methods.available_methods()) or a deep
         module name ("dcmcs3di" / "dmsct").
       mesh: optional device mesh; defaults to all devices on one 'data' axis.
@@ -100,10 +105,12 @@ def color_transfer_between_videos(
     if mesh is None:
         mesh = create_mesh()
     n_dev = mesh.devices.size
-    batch_size = max(batch_size, n_dev)
-    batch_size -= batch_size % n_dev
 
     deep = method in DEEP_METHODS
+    if batch_size is None:
+        batch_size = n_dev if deep else 8 * n_dev
+    batch_size = max(batch_size, n_dev)
+    batch_size -= batch_size % n_dev
     if deep:
         sample = {
             "target": jnp.asarray(target_frames[:1]),

@@ -42,10 +42,13 @@ class DMSCT(nn.Module):
     matcher_num_reg_refine: int = 6
     matcher_num_layers: int = 6
     matcher_max_area: int = 500 * 900
-    # Defaults are bit-strict-parity f32. "bfloat16" is the throughput path
-    # (halves the correlation kernel's VMEM traffic / the backbone+
-    # transformer conv+matmul cost) — enabled by configs/dmsct.yaml after
-    # the mini 31-distortion protocol gate (PERF.md).
+    # Defaults are bit-strict-parity f32. "bfloat16" is the UNGATED
+    # throughput path (halves the correlation kernel's VMEM traffic / the
+    # backbone+transformer conv+matmul cost): every bf16 matcher flavor
+    # fails the 31-distortion drift gate at random init (the iterative
+    # refinement amplifies any upstream rounding to a saturated ~0.11 dB —
+    # PARITY_RESULTS.md round-5), so serving surfaces warn unless
+    # allow_ungated is passed (methods/gates.py).
     matcher_corr_dtype: str = "float32"
     matcher_compute_dtype: str = None  # None = float32 everywhere
     # Mixed precision for the trainable corrector (encoder/decoder/head
@@ -58,7 +61,9 @@ class DMSCT(nn.Module):
     # Selective precision: "float32" confines matcher bf16 to the
     # feature-producing stacks and keeps all flow arithmetic (correlation
     # expectations, self-attn propagation, GRU refinement) f32 — see
-    # UniMatchFlow.refine_dtype. The gate-passing fast recipe.
+    # UniMatchFlow.refine_dtype. Measured round-5: does NOT rescue the
+    # drift gate (feature rounding alone saturates the refinement's
+    # chaotic amplification), but narrows flow error under bf16 compute.
     matcher_refine_dtype: str = None
 
     def setup(self):

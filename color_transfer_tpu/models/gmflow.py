@@ -1029,13 +1029,14 @@ class UniMatchFlow(nn.Module):
     # Selective-precision override for everything downstream of the
     # transformer that touches FLOW VALUES: the correlation softmaxes'
     # feature inputs, SelfAttnPropagation, and the GRU refinement loop
-    # (incl. its local correlation). Set to jnp.float32 together with
-    # compute_dtype=bf16 to confine bf16 to the feature-PRODUCING stacks
-    # (backbone convs + transformer) — the round-4 gate showed the full
-    # bf16 recipe's drift is the iterative refinement amplifying bf16
-    # rounding of flow arithmetic (PARITY_RESULTS.md round-4), while
-    # feature values are consumed through softmax expectations that are
-    # robust to operand rounding. None = no override (corr_dtype /
+    # (incl. its local correlation). jnp.float32 together with
+    # compute_dtype=bf16 confines bf16 to the feature-PRODUCING stacks
+    # (backbone convs + transformer). Round-5 gate measurement
+    # (PARITY_RESULTS.md round-5): this does NOT change the worst-case
+    # drift vs full-bf16 — bf16 rounding of the feature VALUES alone is
+    # amplified by the iterative refinement to the same saturated scale —
+    # but it keeps per-iteration flow arithmetic exact (strictly smaller
+    # flow error on the same features). None = no override (corr_dtype /
     # compute_dtype apply unchanged).
     refine_dtype: jnp.dtype = None
 

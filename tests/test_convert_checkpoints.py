@@ -31,7 +31,7 @@ class TestDCMCS3DIConverter:
     def test_tree_matches_model_init(self, rng):
         model = DCMCS3DI(extraction_layers=2, transfer_layers=1, channels=8)
         x = jnp.zeros((1, 8, 16, 3))
-        want = _tree_paths(model.init(jax.random.PRNGKey(0), x, x)["params"])
+        want = _tree_paths(jax.jit(model.init)(jax.random.PRNGKey(0), x, x)["params"])
 
         # Fabricate a torch state dict with the reference's module names.
         sd = {}
@@ -67,7 +67,7 @@ class TestEfficientNetConverter:
     def test_tree_matches_encoder_init(self, variant, depth):
         enc = EfficientNetEncoder(name_variant=variant, depth=depth)
         x = jnp.zeros((1, 32, 32, 3))
-        variables = enc.init(jax.random.PRNGKey(0), x)
+        variables = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
         want_p = _tree_paths(variables["params"])
         want_s = _tree_paths(variables["batch_stats"])
 
@@ -197,13 +197,13 @@ class TestSmpOracleB2:
 
         enc = EfficientNetEncoder(name_variant="efficientnet-b2", depth=4)
         x = jnp.zeros((1, 32, 32, 3))
-        variables = enc.init(jax.random.PRNGKey(0), x)
+        variables = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
         assert _tree_paths(got_p) == _tree_paths(variables["params"])
         assert _tree_paths(got_s) == _tree_paths(variables["batch_stats"])
 
         # And it must actually run end-to-end with the converted weights,
         # producing the smp pyramid: stem tap is 32 channels at stride 2.
-        feats = enc.apply(
+        feats = jax.jit(enc.apply)(
             {"params": got_p, "batch_stats": got_s},
             jnp.ones((1, 64, 64, 3)) * 0.5,
         )
@@ -242,7 +242,7 @@ class TestSmpOracleB2:
 
         model = DMSCT(matcher_num_layers=1, matcher_num_reg_refine=1)
         t = jnp.zeros((1, 32, 32, 3), jnp.float32)
-        variables = model.init(
+        variables = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             t, t,
         )

@@ -80,10 +80,16 @@ class TestResize:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_nearest_matches_torch(self, rng):
+        # (20,30)->(10,15) rides the strided exact-factor fast path;
+        # (20,30)->(7,11) the general gather path — both must be bitwise
+        # torch-'nearest'.
         x = rng.uniform(0, 1, size=(1, 1, 20, 30)).astype(np.float32)
-        got = np.asarray(core.resize_nearest(jnp.asarray(x), (10, 15)))
-        want = F.interpolate(torch.from_numpy(x), size=(10, 15), mode="nearest").numpy()
-        np.testing.assert_allclose(got, want, atol=0)
+        for out_hw in ((10, 15), (7, 11)):
+            got = np.asarray(core.resize_nearest(jnp.asarray(x), out_hw))
+            want = F.interpolate(
+                torch.from_numpy(x), size=out_hw, mode="nearest"
+            ).numpy()
+            np.testing.assert_allclose(got, want, atol=0)
 
     def test_avg_pool_matches_torch(self, rng):
         x = rng.uniform(0, 1, size=(2, 3, 33, 47)).astype(np.float32)

@@ -30,14 +30,19 @@ B, H, W, C, L = 16, 160, 320, 64, 18
 x = jax.random.uniform(jax.random.PRNGKey(0), (B, H, W, 3), dtype=jnp.float32)
 
 
-def timeit(fn, *args, iters=8):
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda a: np.isfinite(np.asarray(a).ravel()[0]), out
-    )
+def timeit_chained(fn, x0, lead, iters=8):
+    """Chained timing per PERF.md methodology: each iteration's output
+    perturbs the next input (data dependency), one host read at the end —
+    unchained jit timings through the tunnel measure dispatch, not compute.
+    ``lead(out)`` reduces fn's output to a scalar array."""
+    out = fn(x0)
+    assert np.isfinite(float(lead(out)))
+    acc = x0
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[0], outs[-1])
+    for _ in range(iters):
+        out = fn(acc)
+        acc = acc + (1e-12 * lead(out)).astype(acc.dtype)
+    assert np.isfinite(float(lead(out)))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -46,13 +51,17 @@ for dtype_name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
     params = jax.jit(model.init)(jax.random.PRNGKey(1), x)
 
     fwd = jax.jit(lambda p, v: model.apply(p, v))
-    ms_fwd = timeit(fwd, params, x)
+    ms_fwd = timeit_chained(
+        lambda v: fwd(params, v), x, lambda o: o.ravel()[0]
+    )
 
     def loss(p, v):
         return jnp.mean(model.apply(p, v) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-    ms_vg = timeit(vg, params, x)
+    ms_vg = timeit_chained(
+        lambda v: vg(params, v), x, lambda o: o[0]
+    )
 
     # pallas inference kernel on the same weights
     p = params["params"]
@@ -73,7 +82,9 @@ for dtype_name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
         resb_chain, group=3, rows=128,
         compute_dtype=(cd or jnp.float32),
     ))
-    ms_pal = timeit(pal, y0, kernels, biases)
+    ms_pal = timeit_chained(
+        lambda v: pal(v, kernels, biases), y0, lambda o: o.ravel()[0]
+    )
 
     n_convs = 2 * L
     print(
