@@ -365,7 +365,14 @@ def check_predict_smoke():
 
 def main():
     t0 = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "900"))
+    # 1400 s: a warm-cache full pass needs ~450 s, but the tunnel shows
+    # freak ~900 s stalls in a single (cached!) section (round-5: the same
+    # headline took 225 s and 932 s in runs 20 min apart). The round-4
+    # driver run proves the external timeout exceeds 1516 s, and the
+    # headline JSON is printed+flushed before any section runs, so a late
+    # external kill cannot lose the record — the budget only decides how
+    # much of the tail gets measured.
+    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "1400"))
 
     def remaining():
         return budget - (time.monotonic() - t0)
