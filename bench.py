@@ -374,6 +374,19 @@ def main():
     # much of the tail gets measured.
     budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "1400"))
 
+    from color_transfer_tpu import compile_cache
+
+    cache_dir = compile_cache._enabled_dir
+    try:
+        n_cached = len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        n_cached = 0
+    print(
+        f"[bench] persistent compile cache: {cache_dir or 'DISABLED'} "
+        f"({n_cached} entries)",
+        file=sys.stderr,
+    )
+
     def remaining():
         return budget - (time.monotonic() - t0)
 
