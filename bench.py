@@ -329,6 +329,79 @@ def check_win_attention_kernel_integrity():
     )
 
 
+def check_misc_kernel_integrity():
+    """Compiled-vs-interpret agreement for the three Pallas families the
+    other canaries do not cover — conv-chain (ops/conv_chain.py), regrain
+    stencil (ops/regrain_stencil.py), fused row attention
+    (ops/row_attention.py) — at small shapes. These are miscompile guards
+    (the Mosaic one-hot bug zeroed 0.04% of lanes silently), not precision
+    tests: tolerances allow accumulation-order drift, not wrong lanes."""
+    from color_transfer_tpu.ops.conv_chain import resb_chain
+    from color_transfer_tpu.ops.regrain_stencil import regrain_sweeps_pallas
+    from color_transfer_tpu.ops.row_attention import row_attention_warp
+
+    rng = np.random.default_rng(17)
+
+    # conv-chain: bf16 operands round identically compiled/interpret.
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 256, 16)).astype(np.float32))
+    kern = jnp.asarray(
+        (rng.normal(size=(2, 2, 3, 3, 16, 16)) * 0.1).astype(np.float32)
+    )
+    bias = jnp.asarray((rng.normal(size=(2, 2, 16)) * 0.01).astype(np.float32))
+    args = dict(group=2, rows=32, compute_dtype=jnp.bfloat16)
+    compiled = np.asarray(resb_chain(x, kern, bias, **args))
+    interp = np.asarray(resb_chain(x, kern, bias, interpret=True, **args))
+    scale = np.abs(interp).max() + 1e-6
+    bad = np.abs(compiled - interp) > 5e-2 * scale
+    assert not bad.any(), (
+        f"conv-chain compiled/interpret divergence: {bad.mean():.5%}"
+    )
+
+    # regrain stencil (pure f32 VPU adds/muls — tight tolerance).
+    img = jnp.asarray(rng.uniform(0, 1, (64, 128, 3)).astype(np.float32))
+    const = jnp.asarray(rng.uniform(0, 1, (64, 128, 3)).astype(np.float32))
+    phis = jnp.asarray(rng.uniform(0, 1, (4, 64, 128)).astype(np.float32))
+    invd = jnp.asarray(rng.uniform(0.1, 1, (64, 128)).astype(np.float32))
+    compiled = np.asarray(
+        jax.jit(functools.partial(regrain_sweeps_pallas, nbit=4))(
+            img, const, phis, invd
+        )
+    )
+    interp = np.asarray(
+        regrain_sweeps_pallas(img, const, phis, invd, nbit=4, interpret=True)
+    )
+    bad = np.abs(compiled - interp) > 1e-4
+    assert not bad.any(), (
+        f"regrain stencil compiled/interpret divergence: {bad.mean():.5%}"
+    )
+
+    # fused row attention (q k^T softmax warp + colsum).
+    mk = lambda c: jnp.asarray(
+        rng.normal(size=(1, 16, 128, c)).astype(np.float32)
+    )
+    q, k, v = mk(32), mk(32), mk(32)
+    compiled = jax.jit(
+        lambda a, b, c: row_attention_warp(a, b, c, scale=1 / 32.0)
+    )(q, k, v)
+    interp = row_attention_warp(q, k, v, scale=1 / 32.0, interpret=True)
+    for got, want, tag in (
+        (compiled[0], interp[0], "warped"),
+        (compiled[1], interp[1], "colsum"),
+    ):
+        g, w_ = np.asarray(got), np.asarray(want)
+        sc = np.abs(w_).max() + 1e-6
+        bad = np.abs(g - w_) > 2e-2 * sc
+        assert not bad.any(), (
+            f"row-attention {tag} compiled/interpret divergence: "
+            f"{bad.mean():.5%}"
+        )
+    print(
+        "[bench] misc kernel integrity: compiled == interpret "
+        "(conv-chain bf16, regrain stencil f32, row attention)",
+        file=sys.stderr,
+    )
+
+
 def check_predict_smoke():
     """One 1080p pair through the real ``predict`` CLI surface with a
     random-init DMSCT — covers the serving path (run/predict.py +
@@ -486,6 +559,7 @@ def main():
             60,
             check_win_attention_kernel_integrity,
         ),
+        ("misc kernel integrity", 60, check_misc_kernel_integrity),
         ("predict CLI smoke", 90, check_predict_smoke),
         # Diagnostic A/B, least valuable for the record — last on purpose.
         (
